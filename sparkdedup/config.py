@@ -1,0 +1,110 @@
+"""Configuration dataclasses.
+
+Defaults mirror the reference CLIs (``/root/reference/text_dedup/utils/
+args.py:121-131`` MinHash: ngram=5, min_length=5, num_perm=250,
+threshold=0.7; ``args.py:180-185`` SimHash: ngram=3, f=64, bit_diff=3,
+num_bucket=4; ``args.py:222-226`` suffix-array: k=100,
+strategy='overlapping'; ``args.py:261-313`` exact/bloom hash funcs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+SEED = 42  # reference: minhash_spark.py:32
+
+# 32-bit hash space used by the Spark-variant reference
+# (minhash_spark.py:35-37). 16/64-bit variants per minhash.py:289-296.
+MAX_HASH_32 = 4_294_967_295
+MOD_PRIME_32 = 4_294_967_291
+MAX_HASH_16 = 65_535
+MOD_PRIME_16 = 65_521
+# 64-bit mode in the reference is legacy-datasketch: 32-bit hash values
+# under the Mersenne prime 2^61-1 (minhash.py:289-296).
+MOD_PRIME_61 = (1 << 61) - 1
+
+
+@dataclass(frozen=True)
+class MinHashConfig:
+    """MinHash-LSH config (reference defaults, args.py:121-161)."""
+
+    column: str = "content"
+    ngram: int = 5
+    min_length: int = 5
+    num_perm: int = 250
+    threshold: float = 0.7
+    b: Optional[int] = None
+    r: Optional[int] = None
+    hash_bits: int = 32  # {16, 32, 64}
+    seed: int = SEED
+
+    def resolved_bands(self) -> Tuple[int, int]:
+        if self.b is not None and self.r is not None:
+            return self.b, self.r
+        from sparkdedup.hashing import optimal_param
+
+        return optimal_param(self.threshold, self.num_perm)
+
+
+@dataclass(frozen=True)
+class SimHashConfig:
+    """SimHash config (reference defaults, args.py:180-203)."""
+
+    column: str = "content"
+    ngram: int = 3
+    f: int = 64  # fingerprint bits; reference supports {64,128}, we ship 64
+    bit_diff: int = 3
+    num_bucket: int = 4
+    min_length: int = 5  # ngrams() default min_length used by simhash too
+    seed: int = SEED
+
+
+@dataclass(frozen=True)
+class ExactHashConfig:
+    """Exact / Bloom dedup config (args.py:261-313).
+
+    The reference's bloom mode is an approximate version of exact_hash
+    (false positives drop non-duplicates); in Spark exactness is free, so
+    both modes share first-wins-by-lowest-id semantics
+    (exact_hash.py:58-68).
+    """
+
+    column: str = "content"
+    hash_func: str = "sha256"  # {md5, sha256, xxh64}
+
+
+@dataclass(frozen=True)
+class CCNetConfig:
+    """Line-level dedup config (ccnet.py)."""
+
+    column: str = "content"
+    hash_func: str = "sha256"
+
+
+@dataclass(frozen=True)
+class SubstringConfig:
+    """Exact-substring dedup (suffix-array semantics, suffix_array.py).
+
+    Spark-native redesign: duplicated byte-ranges >= k are found via
+    k-byte rolling-window fingerprints instead of a global suffix array
+    (SURVEY.md §7.4). stride=1 is exact for the 'overlapping' strategy.
+    """
+
+    column: str = "content"
+    k: int = 100
+    strategy: str = "overlapping"  # {overlapping, longest}
+    stride: int = 1
+
+
+@dataclass(frozen=True)
+class ANNConfig:
+    """Embedding near-dup / similarity search config."""
+
+    id_column: str = "vec_id"
+    vector_column: str = "embedding"
+    top_k: int = 10
+    threshold: float = 0.9  # cosine similarity for near-dup
+    num_hyperplanes: int = 16  # LSH bucketing (sign-random-projection)
+    num_tables: int = 4
+    seed: int = SEED

@@ -1,0 +1,72 @@
+"""Sources, sinks and id policy.
+
+The production input is an Iceberg table of source-code files
+``(repo, path, commit, lang, content)``; this sandbox has no Iceberg
+runtime jar, so the source abstraction reads a parquet directory with
+the identical schema when the table name is a filesystem path
+(SURVEY.md §1.4, §7.4). Schema-merging parquet read mirrors
+/root/reference/text_dedup/minhash_spark.py:421-422.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOC_ID = "__id__"
+
+
+def read_documents(spark: SparkSession, source: str, fmt: Optional[str] = None) -> DataFrame:
+    """Read the document table.
+
+    ``source`` is an Iceberg table name (``catalog.db.table``) when the
+    iceberg extension is configured, else a parquet path/directory.
+    """
+    if fmt == "iceberg" or (fmt is None and not _looks_like_path(source)):
+        return spark.read.table(source)
+    return spark.read.option("mergeSchema", "true").parquet(source)
+
+
+def _looks_like_path(source: str) -> bool:
+    return "/" in source or source.endswith(".parquet")
+
+
+def with_doc_id(df: DataFrame, id_column: Optional[str] = None) -> DataFrame:
+    """Attach the stable long id column ``__id__``.
+
+    With an explicit key column we pass it through; otherwise
+    ``monotonically_increasing_id`` (partition-prefixed, non-contiguous —
+    exactly the reference Spark variant, minhash_spark.py:426). Caller
+    must persist/checkpoint before reuse: mii is not stable across
+    recomputation (SURVEY.md §7.4).
+    """
+    if id_column:
+        return df.withColumn(DOC_ID, F.col(id_column).cast("long"))
+    return df.withColumn(DOC_ID, F.monotonically_increasing_id())
+
+
+def partitioned_save(
+    df: DataFrame,
+    output: str,
+    chunk_size: int = 200_000,
+    max_partitions: int = 2048,
+    min_partitions: int = 1,
+) -> None:
+    """Write parquet with bounded file counts/sizes.
+
+    Re-expression of the reference's partitioned_save
+    (minhash_spark.py:302-332): ~chunk_size rows per file, partition
+    count clamped. We use maxRecordsPerFile + repartition instead of the
+    __pid__ partitionBy workaround (one directory level less, same file
+    sizing).
+    """
+    total = df.count()
+    parts = max(min_partitions, min(math.ceil(total / max(chunk_size, 1)), max_partitions))
+    (
+        df.repartition(parts)
+        .write.option("maxRecordsPerFile", chunk_size)
+        .parquet(output, mode="overwrite", compression="snappy")
+    )

@@ -1,0 +1,233 @@
+"""MinHash-LSH near-duplicate detection — the flagship pipeline.
+
+Semantics: identical signature math to the reference Spark variant
+(/root/reference/text_dedup/minhash_spark.py): word n-gram shingles →
+xxh32 → uint32 universal-hash permutations with wrap-around arithmetic
+``((h*a + b) mod 4294967291) & 0xFFFFFFFF`` (minhash_spark.py:222-226)
+→ per-band byte signatures → band collision groups → star edges to the
+group minimum (minhash_spark.py:40-64) → connected components → keep
+the component-minimum row (minhash_spark.py:524-528).
+
+Architecture (Spark-first, NOT a port):
+  * signatures: one Arrow-batched pandas UDF, NumPy-vectorized across
+    the whole batch (chunked ``np.minimum.reduceat`` over concatenated
+    shingle arrays) — replaces the reference's per-row rdd.flatMap.
+  * banding: JVM-side ``posexplode`` of the array<binary> signature.
+  * candidate edges: pre-aggregated group-min + join back, NOT
+    groupBy().collect_list: map-side partial aggregation means a
+    mega-cluster band key costs a combine, not a single-task list
+    build; singleton band groups (the overwhelming majority) are pruned
+    by ``count > 1`` BEFORE the join, so AQE can broadcast the
+    collision table when it is small and skew-split the join when not.
+  * clustering: checkpointed label propagation (sparkdedup.cc), no
+    GraphFrames.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import ArrayType, BinaryType
+
+from sparkdedup.cc import connected_components
+from sparkdedup.config import MAX_HASH_32, MOD_PRIME_32, MinHashConfig
+from sparkdedup.hashing import generate_permutations
+from sparkdedup.io import DOC_ID
+from sparkdedup.shingle import word_shingle_hashes_batch
+
+# Max shingles per vectorized permute chunk: bounds UDF peak memory at
+# ~ CHUNK * num_perm * 4 bytes (100k * 250 * 4 = 100 MB).
+_PERMUTE_CHUNK = 100_000
+
+SIG = "__sig__"
+COMPONENT = "__component__"
+
+
+@dataclass
+class MinHashMetrics:
+    rows_before: int = 0
+    rows_kept_len_filter: int = 0
+    candidate_edges: int = 0
+    cc_iterations: int = 0
+    rows_after: int = 0
+    stage_seconds: Dict[str, float] = field(default_factory=dict)
+
+
+def compute_band_signatures(
+    texts: List[str],
+    cfg: MinHashConfig,
+) -> List[Optional[List[bytes]]]:
+    """Pure-Python/NumPy core: per doc, the B band byte-signatures
+    (None when the doc has < min_length tokens).
+
+    This is the function the golden tests pin against the NumPy oracle;
+    the pandas UDF below is just its Arrow wrapper.
+    """
+    b, r = cfg.resolved_bands()
+    a_coef, b_coef = generate_permutations(cfg.num_perm, MOD_PRIME_32, cfg.seed)
+    prime = np.uint32(MOD_PRIME_32)
+    max_hash = np.uint32(MAX_HASH_32)
+
+    per_doc = word_shingle_hashes_batch(texts, cfg.ngram, cfg.min_length)
+    out: List[Optional[List[bytes]]] = [None] * len(texts)
+
+    # chunk whole docs so each permute matrix stays bounded
+    chunk_idx: List[int] = []
+    chunk_counts: List[int] = []
+    chunk_hashes: List[np.ndarray] = []
+    budget = 0
+
+    def flush() -> None:
+        nonlocal budget
+        if not chunk_idx:
+            return
+        h = np.concatenate(chunk_hashes).astype(np.uint32, copy=False)
+        with np.errstate(over="ignore"):
+            # uint32 wrap-around BEFORE the modulus — the reference
+            # relies on this exact overflow behavior (minhash.py:122).
+            ph = (h[:, None] * a_coef[None, :] + b_coef[None, :]) % prime & max_hash
+        starts = np.concatenate(([0], np.cumsum(chunk_counts)[:-1]))
+        mins = np.minimum.reduceat(ph, starts, axis=0)
+        for row, doc_i in enumerate(chunk_idx):
+            sig = mins[row]
+            out[doc_i] = [sig[band * r : (band + 1) * r].tobytes() for band in range(b)]
+        chunk_idx.clear()
+        chunk_counts.clear()
+        chunk_hashes.clear()
+        budget = 0
+
+    for i, hashes in enumerate(per_doc):
+        if hashes is None:
+            continue
+        if hashes.size == 0:
+            # len(tokens) >= min_length guarantees >= 1 shingle, but be safe
+            out[i] = [np.full(r, MAX_HASH_32, dtype=np.uint32).tobytes()] * b
+            continue
+        chunk_idx.append(i)
+        chunk_counts.append(hashes.size)
+        chunk_hashes.append(hashes)
+        budget += hashes.size
+        if budget >= _PERMUTE_CHUNK:
+            flush()
+    flush()
+    return out
+
+
+def make_signature_udf(cfg: MinHashConfig):
+    """Arrow-batched UDF: content -> array<binary> of B band signatures
+    (null = below min_length, i.e. the reference's length filter,
+    minhash_spark.py:423-425)."""
+
+    @pandas_udf(ArrayType(BinaryType()))
+    def signature(texts: pd.Series) -> pd.Series:
+        return pd.Series(compute_band_signatures(texts.tolist(), cfg))
+
+    return signature
+
+
+def minhash_bands(df: DataFrame, cfg: MinHashConfig, id_col: str = DOC_ID) -> DataFrame:
+    """Exploded band table: (id, band, hash: binary)."""
+    sig_udf = make_signature_udf(cfg)
+    return (
+        df.select(F.col(id_col), sig_udf(F.col(cfg.column)).alias(SIG))
+        .filter(F.col(SIG).isNotNull())
+        .select(F.col(id_col), F.posexplode(SIG).alias("band", "hash"))
+    )
+
+
+def band_edges(bands: DataFrame, id_col: str = DOC_ID) -> DataFrame:
+    """Star edges (src -> band-group minimum), skew-safe.
+
+    Two-phase plan: (1) groupBy(band, hash) min/count with map-side
+    combine — no per-key row materialization, immune to mega-cluster
+    keys; (2) prune singleton groups, then join the collision minima
+    back. AQE broadcasts the (usually tiny) collision table or splits
+    skewed probe partitions.
+    """
+    mins = (
+        bands.groupBy("band", "hash")
+        .agg(F.min(id_col).alias("dst"), F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .drop("cnt")
+    )
+    return (
+        bands.join(mins, on=["band", "hash"])
+        .filter(F.col(id_col) != F.col("dst"))
+        .select(F.col(id_col).alias("src"), F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+@dataclass
+class MinHashResult:
+    kept: DataFrame  # surviving rows (original schema + __id__)
+    assignment: DataFrame  # (id, component) for every edge-touched doc
+    metrics: MinHashMetrics
+
+
+def minhash_dedup(
+    df: DataFrame,
+    cfg: MinHashConfig = MinHashConfig(),
+    id_col: str = DOC_ID,
+    storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+) -> MinHashResult:
+    """End-to-end MinHash-LSH dedup.
+
+    ``df`` must already carry a stable long id column (``io.with_doc_id``
+    + persist if synthesized). Returns surviving rows: docs below
+    min_length are dropped; of each near-dup component the minimum-id
+    row survives (minhash_spark.py:423-428, 524-528).
+    """
+    import time
+
+    metrics = MinHashMetrics()
+    t0 = time.time()
+
+    with_sig = df.withColumn(SIG, make_signature_udf(cfg)(F.col(cfg.column))).persist(storage_level)
+    kept_docs = with_sig.filter(F.col(SIG).isNotNull())
+    metrics.rows_before = df.count()
+    metrics.rows_kept_len_filter = kept_docs.count()
+    metrics.stage_seconds["signatures"] = time.time() - t0
+
+    t1 = time.time()
+    bands = kept_docs.select(F.col(id_col), F.posexplode(SIG).alias("band", "hash"))
+    edges = band_edges(bands, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    metrics.candidate_edges = edges.count()
+    metrics.stage_seconds["edges"] = time.time() - t1
+
+    t2 = time.time()
+    if metrics.candidate_edges == 0:
+        # early exit mirrors minhash_spark.py:472-483
+        empty_assign = edges.select(
+            F.col("src").alias("id"), F.col("dst").alias("component")
+        )
+        result = kept_docs.drop(SIG)
+        metrics.rows_after = metrics.rows_kept_len_filter
+        metrics.stage_seconds["cc"] = time.time() - t2
+        return MinHashResult(result, empty_assign, metrics)
+
+    assignment, cc_stats = connected_components(edges)
+    metrics.cc_iterations = cc_stats.iterations
+    metrics.stage_seconds["cc"] = time.time() - t2
+
+    t3 = time.time()
+    kept = (
+        kept_docs.join(
+            assignment.withColumnRenamed("id", id_col).withColumnRenamed("component", COMPONENT),
+            on=id_col,
+            how="left",
+        )
+        .filter(F.col(COMPONENT).isNull() | (F.col(COMPONENT) == F.col(id_col)))
+        .drop(COMPONENT, SIG)
+    )
+    metrics.rows_after = kept.count()
+    metrics.stage_seconds["filter"] = time.time() - t3
+    edges.unpersist()
+    return MinHashResult(kept, assignment, metrics)

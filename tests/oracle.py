@@ -1,0 +1,133 @@
+"""Independent NumPy/pure-Python transcription of the reference
+MinHash-LSH clustering math, used as the golden oracle for E2E tests.
+
+This deliberately mirrors the *reference* control flow — per-doc
+signature, B band hash tables, star edges, driver union-find
+(/root/reference/text_dedup/minhash.py:332,385-412) — NOT our Spark
+pipeline, so the two paths only share the pinned xxh32 primitive
+(validated on its own against reference doctest values).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from sparkdedup.hashing import generate_permutations, xxh32_batch
+
+NON_ALPHA = re.compile(r"\W", re.UNICODE)
+MAX_HASH = np.uint32(4_294_967_295)
+MOD_PRIME = np.uint32(4_294_967_291)
+
+
+class UnionFind:
+    """Minimal union-find (semantics of reference union_find.py:9-98)."""
+
+    def __init__(self) -> None:
+        self.parent: Dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        root = x
+        while self.parent.get(root, root) != root:
+            root = self.parent[root]
+        while self.parent.get(x, x) != root:
+            self.parent[x], x = root, self.parent[x]
+        return root
+
+    def union(self, x: int, y: int) -> None:
+        rx, ry = self.find(x), self.find(y)
+        if rx != ry:
+            # union to the smaller root for deterministic min-root labels
+            if rx < ry:
+                self.parent[ry] = rx
+            else:
+                self.parent[rx] = ry
+
+
+def doc_signature(text: str, ngram: int, min_length: int, num_perm: int, seed: int) -> Optional[np.ndarray]:
+    """Reference embed path, one doc at a time (minhash_spark.py:222-226)."""
+    tokens = NON_ALPHA.split(text.lower())
+    if len(tokens) < min_length:
+        return None
+    if len(tokens) < ngram:
+        shingles = {" ".join(tokens).lower().encode("utf-8")}
+    else:
+        shingles = {
+            " ".join(tokens[i : i + ngram]).lower().encode("utf-8") for i in range(len(tokens) - ngram + 1)
+        }
+    hashes = xxh32_batch(sorted(shingles))
+    a, b = generate_permutations(num_perm, int(MOD_PRIME), seed)
+    with np.errstate(over="ignore"):
+        ph = (np.outer(hashes, a) + b) % MOD_PRIME & MAX_HASH
+    padded = np.vstack([ph, np.full(num_perm, MAX_HASH, dtype=np.uint32)])
+    return padded.min(axis=0)
+
+
+def minhash_clusters(
+    texts: List[str],
+    ids: List[int],
+    ngram: int = 5,
+    min_length: int = 5,
+    num_perm: int = 250,
+    b: int = 25,
+    r: int = 10,
+    seed: int = 42,
+) -> Tuple[Dict[int, int], Set[int]]:
+    """Returns (assignment: id -> min-id cluster label, kept_ids after the
+    length filter). Docs not in any collision keep their own label."""
+    tables: List[Dict[bytes, List[int]]] = [dict() for _ in range(b)]
+    kept: Set[int] = set()
+    for doc_id, text in zip(ids, texts):
+        sig = doc_signature(text, ngram, min_length, num_perm, seed)
+        if sig is None:
+            continue
+        kept.add(doc_id)
+        for band in range(b):
+            key = sig[band * r : (band + 1) * r].tobytes()
+            tables[band].setdefault(key, []).append(doc_id)
+
+    uf = UnionFind()
+    for table in tables:
+        for group in table.values():
+            if len(group) <= 1:
+                continue
+            m = min(group)
+            for node in group:
+                if node != m:
+                    uf.union(node, m)
+
+    assignment = {doc_id: uf.find(doc_id) for doc_id in kept}
+    return assignment, kept
+
+
+def cluster_pairs(assignment: Dict[int, int]) -> Set[Tuple[int, int]]:
+    """All unordered same-cluster pairs (the dup-pair recall universe)."""
+    groups: Dict[int, List[int]] = {}
+    for doc_id, label in assignment.items():
+        groups.setdefault(label, []).append(doc_id)
+    pairs: Set[Tuple[int, int]] = set()
+    for members in groups.values():
+        if len(members) < 2:
+            continue
+        members = sorted(members)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((members[i], members[j]))
+    return pairs
+
+
+def word_ngram_jaccard(a: str, b: str, n: int = 5) -> float:
+    """Test-only similarity oracle (reference analysis.py:11-46)."""
+
+    def sh(t: str) -> set:
+        tokens = NON_ALPHA.split(t.lower())
+        if len(tokens) < n:
+            return {" ".join(tokens)}
+        return {" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)}
+
+    sa, sb = sh(a), sh(b)
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
