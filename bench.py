@@ -1,0 +1,70 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Extra context fields beyond the driver contract: per-query row counts,
+docs/sec for the flagship minhash pipeline, and the parallelism used
+(for the N-vs-4N scaling report in BENCH/BASELINE.md, see
+tools/run_scaling.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "minhash_dedup",
+    "exact_dedup",
+    "ccnet_line_dedup",
+    "text_stats",
+    "lang_id_counts",
+    "ann_topk",
+    "embedding_near_dup_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from sparkdedup.session import get_spark
+
+    spark = get_spark(app_name="sparkdedup-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qmap = entrymod.queries()
+    per_query: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    t_total = time.time()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qmap[name](spark, sf_dir)
+        rows[name] = df.count()
+        per_query[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_total, 3)
+
+    out = {
+        "metric": "dedup_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "rows": rows,
+        "n_docs": n_docs,
+        "minhash_docs_per_sec": round(n_docs / per_query["minhash_dedup"], 1),
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

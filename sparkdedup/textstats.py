@@ -1,0 +1,101 @@
+"""Training-data text analysis operators — pure column expressions.
+
+Beyond the reference's operator set: token counting, quality scoring,
+language-ID and document fingerprinting over a document table, all
+JVM-side (whole-stage codegen), each with an exact ANSI-SQL oracle
+(see __spark_entry__.oracle_sql). No UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# simple marker-word lists per language for the n-gram/stopword
+# language-ID heuristic (deterministic, SQL-expressible)
+LANG_MARKERS: Dict[str, List[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "es", "una"],
+    "de": ["der", "die", "das", "und", "ist"],
+}
+
+
+def whitespace_token_count(col: Column) -> Column:
+    """Number of whitespace-separated tokens."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def word_token_count(col: Column) -> Column:
+    """BPE-ish word-piece count: runs of word chars or single non-space
+    punctuation marks."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"(?U)(\w+|[^\w\s])"), 0))
+
+
+def punct_ratio(col: Column) -> Column:
+    n_punct = F.length(col) - F.length(F.regexp_replace(col, r"\p{P}", ""))
+    return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(n_punct / F.length(col))
+
+
+def stopword_ratio(col: Column, stopwords: List[str] | None = None) -> Column:
+    words = stopwords or LANG_MARKERS["en"]
+    tokens = F.split(F.lower(F.trim(col)), r"\s+")
+    hits = F.size(F.filter(tokens, lambda t: t.isin(*words)))
+    total = whitespace_token_count(col)
+    return F.when(total == 0, F.lit(0.0)).otherwise(hits / total)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + punctuation
+    sanity + mean token length band. Deterministic and SQL-mirrorable."""
+    n = F.length(col)
+    toks = whitespace_token_count(col)
+    mean_tok = F.when(toks == 0, F.lit(0.0)).otherwise(n.cast("double") / toks)
+    len_ok = F.when((n >= 50) & (n <= 20000), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(col) <= 0.3, 1.0).otherwise(0.0)
+    tok_ok = F.when((mean_tok >= 3.0) & (mean_tok <= 12.0), 1.0).otherwise(0.0)
+    return (len_ok + punct_ok + tok_ok) / F.lit(3.0)
+
+
+def marker_hits(col: Column, words: List[str]) -> Column:
+    """How many tokens of `col` are in `words`."""
+    tokens = F.split(F.lower(F.trim(col)), r"\s+")
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+def language_id(col: Column) -> Column:
+    """Deterministic stopword-vote language guess ('und' = undetermined).
+
+    Ties break by the fixed order en > fr > es > de (greatest-first
+    CASE), mirrored exactly in the SQL oracle.
+    """
+    hits = {lang: marker_hits(col, words) for lang, words in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in ["en", "fr", "es", "de"]:
+        expr = expr.when(hits[lang] == best, F.lit(lang))
+    return expr
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Stable content fingerprint (md5 hex — same function exists in
+    DuckDB, so value-level oracle checks work)."""
+    return F.md5(col)
+
+
+def text_stats(df: DataFrame, column: str = "text", id_col: str = "doc_id") -> DataFrame:
+    c = F.col(column)
+    return df.select(
+        F.col(id_col),
+        whitespace_token_count(c).alias("n_tokens"),
+        F.length(c).alias("n_chars"),
+        punct_ratio(c).alias("punct_ratio"),
+        quality_score(c).alias("quality"),
+        language_id(c).alias("lang_guess"),
+        doc_fingerprint(c).alias("fingerprint"),
+    )
