@@ -86,6 +86,16 @@ def q_minhash_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.assignment.select(F.col("id").alias("doc_id"), "component")
 
 
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkdedup.config import SimHashConfig
+    from sparkdedup.io import with_doc_id
+    from sparkdedup.simhash import simhash_dedup
+
+    df = with_doc_id(_docs(spark, sf_dir), id_column="doc_id")
+    res = simhash_dedup(df, SimHashConfig(column="text"))
+    return res.kept.select("doc_id", "lang", "source")
+
+
 # --- text analysis -------------------------------------------------------
 
 
@@ -150,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_filter": q_length_filter,
         "minhash_dedup": q_minhash_dedup,
         "minhash_assignment": q_minhash_assignment,
+        "simhash_dedup": q_simhash_dedup,
         "text_stats": q_text_stats,
         "lang_id_counts": q_lang_id_counts,
         "ann_topk": q_ann_topk,

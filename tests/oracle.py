@@ -131,3 +131,88 @@ def word_ngram_jaccard(a: str, b: str, n: int = 5) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+# --- SimHash oracle (transcription of reference simhash.py flow) ---------
+
+
+def _simhash_fp(text: str, ngram: int, min_length: int, f: int = 64) -> Optional[int]:
+    """Per-doc fingerprint via plain Python ints (independent of the
+    vectorized pipeline path; shares only the pinned xxh64)."""
+    if len(text) < min_length:
+        return None
+    if len(text) < ngram:
+        shingles = {text.lower().encode("utf-8")}
+    else:
+        shingles = {text[i : i + ngram].lower().encode("utf-8") for i in range(len(text) - ngram + 1)}
+    from sparkdedup.hashing import xxh64_batch
+
+    hashes = [int(h) for h in xxh64_batch(sorted(shingles))]
+    n = len(hashes)
+    fp = 0
+    for bit in range(f):  # bit 0 = MSB
+        ones = sum((h >> (f - 1 - bit)) & 1 for h in hashes)
+        if 2 * ones - n > 0:
+            fp |= 1 << (f - 1 - bit)
+    return fp
+
+
+def _ref_block_layout(f: int, b: int):
+    import math
+
+    max_w = math.ceil(f / b)
+    blocks, start = [], 0
+    for _ in range(b):
+        if start >= f:
+            break
+        w = min(max_w, f - start)
+        blocks.append((w, start))
+        start += w
+    return blocks
+
+
+def simhash_bucket_keys(fp: int, f: int, k: int, b: int):
+    """Reference Permutation semantics: key = (prefix_width, leading
+    (b-k) blocks of the permuted fingerprint), via plain int ops."""
+    from itertools import permutations as iperm
+
+    blocks = _ref_block_layout(f, b)
+    keys = set()
+    for leading in iperm(range(len(blocks)), b - k):
+        chosen = [blocks[i] for i in leading]
+        width = sum(w for w, _ in chosen)
+        val, consumed = 0, 0
+        for w, start in chosen:
+            consumed += w
+            block_val = (fp >> (f - start - w)) & ((1 << w) - 1)
+            val |= block_val << (width - consumed)
+        keys.add((width, val))
+    return keys
+
+
+def simhash_clusters(
+    texts: List[str],
+    ids: List[int],
+    ngram: int = 3,
+    min_length: int = 5,
+    f: int = 64,
+    bit_diff: int = 3,
+    num_bucket: int = 4,
+) -> Tuple[Dict[int, int], Set[int]]:
+    buckets: Dict[Tuple[int, int], List[Tuple[int, int]]] = {}
+    uf = UnionFind()
+    kept: Set[int] = set()
+    fps: Dict[int, int] = {}
+    for doc_id, text in sorted(zip(ids, texts)):
+        fp = _simhash_fp(text, ngram, min_length, f)
+        if fp is None:
+            continue
+        kept.add(doc_id)
+        fps[doc_id] = fp
+        for key in simhash_bucket_keys(fp, f, bit_diff, num_bucket):
+            for other_id, other_fp in buckets.setdefault(key, []):
+                if bin(fp ^ other_fp).count("1") <= bit_diff:
+                    uf.union(doc_id, other_id)
+            buckets[key].append((doc_id, fp))
+    assignment = {doc_id: uf.find(doc_id) for doc_id in kept}
+    return assignment, kept
