@@ -96,6 +96,18 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.kept.select("doc_id", "lang", "source")
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k=30 (not the reference default 100) so the driver tables exercise
+    # a non-degenerate removal; byte==char here (ASCII corpus)
+    from sparkdedup.config import SubstringConfig
+    from sparkdedup.io import with_doc_id
+    from sparkdedup.suffix import substring_dedup
+
+    df = with_doc_id(_docs(spark, sf_dir), id_column="doc_id")
+    res = substring_dedup(df, SubstringConfig(column="text", k=30))
+    return res.kept.select("doc_id", F.col("text").alias("deduped_text"))
+
+
 # --- text analysis -------------------------------------------------------
 
 
@@ -161,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "minhash_assignment": q_minhash_assignment,
         "simhash_dedup": q_simhash_dedup,
+        "substring_dedup": q_substring_dedup,
         "text_stats": q_text_stats,
         "lang_id_counts": q_lang_id_counts,
         "ann_topk": q_ann_topk,
@@ -251,6 +264,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id_counts": "SELECT " + _LANG_GUESS_EXPR + """ AS lang_guess, count(*) AS n
             FROM documents GROUP BY 1
+        """,
+        "substring_dedup": """
+            WITH wins AS (
+                SELECT doc_id, i, substr(text, i, 30) AS w
+                FROM documents, UNNEST(range(1, greatest(length(text) - 30 + 2, 1))) t(i)
+                WHERE length(text) >= 30
+            ),
+            dupw AS (SELECT w FROM wins GROUP BY w HAVING count(*) > 1),
+            marked AS (SELECT doc_id, i FROM wins JOIN dupw USING (w)),
+            pos AS (
+                SELECT doc_id, p FROM documents,
+                     UNNEST(range(1, length(text) + 1)) t(p)
+            ),
+            covered AS (
+                SELECT DISTINCT pos.doc_id, pos.p
+                FROM pos JOIN marked ON pos.doc_id = marked.doc_id
+                     AND pos.p BETWEEN marked.i AND marked.i + 29
+            ),
+            kept AS (
+                SELECT pos.doc_id, pos.p FROM pos
+                ANTI JOIN covered ON pos.doc_id = covered.doc_id AND pos.p = covered.p
+            )
+            SELECT k.doc_id,
+                   string_agg(substr(d.text, k.p, 1), '' ORDER BY k.p) AS deduped_text
+            FROM kept k JOIN documents d ON k.doc_id = d.doc_id
+            GROUP BY k.doc_id
+            HAVING length(string_agg(substr(d.text, k.p, 1), '' ORDER BY k.p)) > 0
         """,
         "embedding_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
