@@ -72,7 +72,7 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdedup.minhash import minhash_dedup
 
     df = with_doc_id(_docs(spark, sf_dir), id_column="doc_id")
-    res = minhash_dedup(df, MinHashConfig(column="text"))
+    res = minhash_dedup(df, MinHashConfig(column="text"), collect_metrics=False)
     return res.kept.select("doc_id", "lang", "source")
 
 
@@ -82,7 +82,7 @@ def q_minhash_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdedup.minhash import minhash_dedup
 
     df = with_doc_id(_docs(spark, sf_dir), id_column="doc_id")
-    res = minhash_dedup(df, MinHashConfig(column="text"))
+    res = minhash_dedup(df, MinHashConfig(column="text"), collect_metrics=False)
     return res.assignment.select(F.col("id").alias("doc_id"), "component")
 
 
@@ -92,7 +92,7 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdedup.simhash import simhash_dedup
 
     df = with_doc_id(_docs(spark, sf_dir), id_column="doc_id")
-    res = simhash_dedup(df, SimHashConfig(column="text"))
+    res = simhash_dedup(df, SimHashConfig(column="text"), collect_metrics=False)
     return res.kept.select("doc_id", "lang", "source")
 
 
@@ -104,7 +104,7 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdedup.suffix import substring_dedup
 
     df = with_doc_id(_docs(spark, sf_dir), id_column="doc_id")
-    res = substring_dedup(df, SubstringConfig(column="text", k=30))
+    res = substring_dedup(df, SubstringConfig(column="text", k=30), collect_metrics=False)
     return res.kept.select("doc_id", F.col("text").alias("deduped_text"))
 
 

@@ -35,6 +35,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def unit_vector(a: Column) -> Column:
+    """L2-normalize once per row so pairwise cosine degrades to a dot
+    product — norms are NOT recomputed per candidate pair."""
+    norm = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    return F.transform(a, lambda x: x / norm)
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -48,17 +59,17 @@ def brute_force_topk(
     """
     idc, vc = cfg.id_column, cfg.vector_column
     q = queries.select(
-        F.col(idc).alias("query_id"), F.col(vc).cast("array<double>").alias("qv")
+        F.col(idc).alias("query_id"), unit_vector(F.col(vc).cast("array<double>")).alias("qv")
     )
     v = vectors.select(
-        F.col(idc).alias("neighbor_id"), F.col(vc).cast("array<double>").alias("nv")
+        F.col(idc).alias("neighbor_id"), unit_vector(F.col(vc).cast("array<double>")).alias("nv")
     )
     from pyspark.sql import Window
 
     scored = (
         v.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("nv")))
+        .withColumn("sim", dot(F.col("qv"), F.col("nv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -116,7 +127,9 @@ def near_dup_pairs(
     quadratic shuffle; this is the 100TB path.
     """
     idc, vc = cfg.id_column, cfg.vector_column
-    v = vectors.select(F.col(idc).alias("id"), F.col(vc).cast("array<double>").alias("v"))
+    v = vectors.select(
+        F.col(idc).alias("id"), unit_vector(F.col(vc).cast("array<double>")).alias("v")
+    )
     if exact:
         cand = (
             v.alias("a")
@@ -138,7 +151,7 @@ def near_dup_pairs(
             .join(v.withColumnRenamed("id", "id_b").withColumnRenamed("v", "vb"), on="id_b")
         )
     return (
-        cand.withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        cand.withColumn("sim", dot(F.col("va"), F.col("vb")))
         .filter(F.col("sim") >= cfg.threshold)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
     )

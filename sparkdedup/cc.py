@@ -66,6 +66,9 @@ def connected_components(
         .select(F.col("a").alias("id"), F.least("a", "nbr_min").alias("comp"))
         .localCheckpoint(eager=True)
     )
+    # seed sum: lets a seed that is already the fixpoint (pure star
+    # graphs — the common LSH case) converge after ONE confirm round
+    stats.label_sums.append(int(assign.agg(F.sum("comp")).collect()[0][0] or 0))
 
     for _ in range(max_iterations):
         stats.iterations += 1

@@ -42,9 +42,10 @@ from sparkdedup.hashing import generate_permutations
 from sparkdedup.io import DOC_ID
 from sparkdedup.shingle import word_shingle_hashes_batch
 
-# Max shingles per vectorized permute chunk: bounds UDF peak memory at
-# ~ CHUNK * num_perm * 4 bytes (100k * 250 * 4 = 100 MB).
-_PERMUTE_CHUNK = 100_000
+# Max shingles per vectorized permute chunk. Small on purpose: the
+# (CHUNK, num_perm) uint32 permute matrix must stay cache-resident
+# (8192*250*4 = 8 MB); measured 3x faster than a 100k chunk.
+_PERMUTE_CHUNK = 8_192
 
 SIG = "__sig__"
 COMPONENT = "__component__"
@@ -177,6 +178,7 @@ def minhash_dedup(
     cfg: MinHashConfig = MinHashConfig(),
     id_col: str = DOC_ID,
     storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    collect_metrics: bool = True,
 ) -> MinHashResult:
     """End-to-end MinHash-LSH dedup.
 
@@ -184,6 +186,10 @@ def minhash_dedup(
     + persist if synthesized). Returns surviving rows: docs below
     min_length are dropped; of each near-dup component the minimum-id
     row survives (minhash_spark.py:423-428, 524-528).
+
+    collect_metrics=False skips the stage-count actions (each is a full
+    pass) — the fast path for production/bench runs; the structural
+    early-exit check degrades to a cheap isEmpty (limit-1) probe.
     """
     import time
 
@@ -192,18 +198,23 @@ def minhash_dedup(
 
     with_sig = df.withColumn(SIG, make_signature_udf(cfg)(F.col(cfg.column))).persist(storage_level)
     kept_docs = with_sig.filter(F.col(SIG).isNotNull())
-    metrics.rows_before = df.count()
-    metrics.rows_kept_len_filter = kept_docs.count()
+    if collect_metrics:
+        metrics.rows_before = df.count()
+        metrics.rows_kept_len_filter = kept_docs.count()
     metrics.stage_seconds["signatures"] = time.time() - t0
 
     t1 = time.time()
     bands = kept_docs.select(F.col(id_col), F.posexplode(SIG).alias("band", "hash"))
     edges = band_edges(bands, id_col).persist(StorageLevel.MEMORY_AND_DISK)
-    metrics.candidate_edges = edges.count()
+    if collect_metrics:
+        metrics.candidate_edges = edges.count()
+        no_edges = metrics.candidate_edges == 0
+    else:
+        no_edges = edges.isEmpty()
     metrics.stage_seconds["edges"] = time.time() - t1
 
     t2 = time.time()
-    if metrics.candidate_edges == 0:
+    if no_edges:
         # early exit mirrors minhash_spark.py:472-483
         empty_assign = edges.select(
             F.col("src").alias("id"), F.col("dst").alias("component")
@@ -227,7 +238,8 @@ def minhash_dedup(
         .filter(F.col(COMPONENT).isNull() | (F.col(COMPONENT) == F.col(id_col)))
         .drop(COMPONENT, SIG)
     )
-    metrics.rows_after = kept.count()
+    if collect_metrics:
+        metrics.rows_after = kept.count()
     metrics.stage_seconds["filter"] = time.time() - t3
     edges.unpersist()
     return MinHashResult(kept, assignment, metrics)

@@ -187,12 +187,14 @@ def substring_dedup(
     cfg: SubstringConfig = SubstringConfig(),
     id_col: str = DOC_ID,
     storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    collect_metrics: bool = True,
 ) -> SubstringResult:
     """Remove every byte range (length >= k) whose content appears more
     than once in the corpus; drop emptied docs."""
     metrics = SubstringMetrics()
     df = df.persist(storage_level)
-    metrics.rows_before = df.count()
+    if collect_metrics:
+        metrics.rows_before = df.count()
 
     win_udf = make_window_udf(cfg)
     wins = (
@@ -204,7 +206,8 @@ def substring_dedup(
     )
     dup_wins = wins.join(dup_keys, on=["h1", "h2"])
     per_doc = dup_wins.groupBy(id_col).agg(F.sort_array(F.collect_list("off")).alias("__offs__"))
-    metrics.duplicated_windows = dup_wins.count()
+    if collect_metrics:
+        metrics.duplicated_windows = dup_wins.count()
 
     splice_udf = make_splice_udf(cfg)
     kept = (
@@ -218,5 +221,6 @@ def substring_dedup(
         .drop("__offs__")
         .filter(F.length(F.col(cfg.column)) > 0)
     )
-    metrics.rows_after = kept.count()
+    if collect_metrics:
+        metrics.rows_after = kept.count()
     return SubstringResult(kept, metrics)
