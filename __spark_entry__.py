@@ -128,6 +128,51 @@ def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jaccard_vs_doc0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # H13 jaccard similarity as a first-class JVM expression
+    from sparkdedup.jaccard import jaccard, shingle_array
+
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") == 0).select(
+        shingle_array(F.col("text"), 3).alias("base_sh")
+    )
+    return (
+        docs.crossJoin(F.broadcast(base))
+        .select(
+            "doc_id",
+            F.round(jaccard(shingle_array(F.col("text"), 3), F.col("base_sh")), 4).alias("jac"),
+        )
+    )
+
+
+def q_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkdedup.config import MinHashConfig
+    from sparkdedup.io import with_doc_id
+    from sparkdedup.jaccard import jaccard_dedup
+
+    df = with_doc_id(_docs(spark, sf_dir), id_column="doc_id")
+    res = jaccard_dedup(df, MinHashConfig(column="text", threshold=0.7), collect_metrics=False)
+    return res.kept.select("doc_id", "lang")
+
+
+def q_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multimodal plumbing: documents masquerade as binary image assets;
+    # feature vector is stubbed (no codecs in env) but n_bytes/sha256
+    # are real and oracle-checked
+    from sparkdedup.multimodal import extract_features
+
+    assets = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/png").alias("mime"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    return extract_features(assets).select("asset_id", "kind", "n_bytes", "sha256")
+
+
 # --- embeddings ----------------------------------------------------------
 
 
@@ -176,6 +221,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "text_stats": q_text_stats,
         "lang_id_counts": q_lang_id_counts,
+        "jaccard_vs_doc0": q_jaccard_vs_doc0,
+        "jaccard_dedup": q_jaccard_dedup,
+        "asset_features": q_asset_features,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -264,6 +312,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id_counts": "SELECT " + _LANG_GUESS_EXPR + """ AS lang_guess, count(*) AS n
             FROM documents GROUP BY 1
+        """,
+        "jaccard_vs_doc0": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(CASE
+                         WHEN len(string_split_regex(lower(text), '\\W')) < 3
+                         THEN [array_to_string(string_split_regex(lower(text), '\\W'), ' ')]
+                         ELSE list_transform(
+                              range(1, len(string_split_regex(lower(text), '\\W')) - 3 + 2),
+                              i -> array_to_string(string_split_regex(lower(text), '\\W')[i:i+2], ' '))
+                       END) AS s
+                FROM documents
+            ),
+            base AS (SELECT s AS bs FROM sh WHERE doc_id = 0)
+            SELECT sh.doc_id,
+                   round(CASE WHEN len(sh.s) + len(bs) - len(list_intersect(sh.s, bs)) = 0 THEN 1.0
+                         ELSE len(list_intersect(sh.s, bs)) * 1.0
+                              / (len(sh.s) + len(bs) - len(list_intersect(sh.s, bs))) END, 4) AS jac
+            FROM sh, base
+        """,
+        "asset_features": """
+            SELECT doc_id AS asset_id, 'image' AS kind,
+                   octet_length(text::BLOB) AS n_bytes, sha256(text) AS sha256
+            FROM documents
         """,
         "substring_dedup": """
             WITH wins AS (

@@ -1,0 +1,145 @@
+"""spark-submit entry point.
+
+Usage (mirrors the reference CLIs, utils/args.py:86-313):
+
+  spark-submit --py-files sparkdedup.zip -m sparkdedup.cli \\
+      minhash  --input /data/code_files --output /data/deduped \\
+               --column content --threshold 0.7 --num_perm 250 \\
+               --work_dir /data/work --metrics /data/metrics.json
+
+Modes: minhash | simhash | exact | bloom | ccnet | substring.
+minhash runs the fully resumable staged pipeline (sparkdedup.pipeline);
+the others run in-session and write output + metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="sparkdedup")
+    sub = p.add_subparsers(dest="mode", required=True)
+
+    def common(sp):
+        sp.add_argument("--input", "-i", required=True, help="parquet dir or Iceberg table")
+        sp.add_argument("--output", "-o", required=True)
+        sp.add_argument("--column", "-c", default="content")
+        sp.add_argument("--index", default=None, help="existing id column (else synthesized)")
+        sp.add_argument("--metrics", default=None, help="metrics JSON path")
+        sp.add_argument("--work_dir", default="./sparkdedup_work")
+
+    mh = sub.add_parser("minhash")
+    common(mh)
+    mh.add_argument("--threshold", type=float, default=0.7)
+    mh.add_argument("--ngram_size", type=int, default=5)
+    mh.add_argument("--min_length", type=int, default=5)
+    mh.add_argument("--num_perm", type=int, default=250)
+    mh.add_argument("--b", type=int, default=None)
+    mh.add_argument("--r", type=int, default=None)
+
+    sh = sub.add_parser("simhash")
+    common(sh)
+    sh.add_argument("--ngram_size", type=int, default=3)
+    sh.add_argument("--bit_diff", type=int, default=3)
+    sh.add_argument("--num_bucket", type=int, default=4)
+
+    for name in ("exact", "bloom"):
+        sp = sub.add_parser(name)
+        common(sp)
+        sp.add_argument("--hash_func", default="sha256", choices=["md5", "sha256", "xxh64"])
+
+    cc = sub.add_parser("ccnet")
+    common(cc)
+    cc.add_argument("--hash_func", default="sha256", choices=["md5", "sha256", "xxh64"])
+
+    sa = sub.add_parser("substring")
+    common(sa)
+    sa.add_argument("--k", type=int, default=100)
+    sa.add_argument("--strategy", default="overlapping", choices=["overlapping", "longest"])
+    sa.add_argument("--stride", type=int, default=1)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from sparkdedup.config import (
+        CCNetConfig,
+        ExactHashConfig,
+        MinHashConfig,
+        SimHashConfig,
+        SubstringConfig,
+    )
+    from sparkdedup.io import partitioned_save, read_documents, with_doc_id
+    from sparkdedup.session import get_spark
+
+    spark = get_spark(app_name=f"sparkdedup-{args.mode}", checkpoint_dir=args.work_dir + "/ckpt")
+    t0 = time.time()
+
+    if args.mode == "minhash":
+        from sparkdedup.pipeline import minhash_job
+
+        cfg = MinHashConfig(
+            column=args.column,
+            ngram=args.ngram_size,
+            min_length=args.min_length,
+            num_perm=args.num_perm,
+            threshold=args.threshold,
+            b=args.b,
+            r=args.r,
+        )
+        m = minhash_job(
+            spark, args.input, args.output, args.work_dir, cfg, args.index, args.metrics
+        )
+        print(json.dumps({"mode": "minhash", "before": m.rows_before, "after": m.rows_after, "seconds": round(time.time() - t0, 2)}))
+        return 0
+
+    df = with_doc_id(read_documents(spark, args.input), args.index)
+    if args.index is None:
+        df = df.persist()  # mii stability across reuse
+
+    if args.mode == "simhash":
+        from sparkdedup.simhash import simhash_dedup
+
+        res = simhash_dedup(
+            df,
+            SimHashConfig(column=args.column, ngram=args.ngram_size, bit_diff=args.bit_diff, num_bucket=args.num_bucket),
+        )
+        kept, before, after = res.kept, res.metrics.rows_before, res.metrics.rows_after
+    elif args.mode in ("exact", "bloom"):
+        from sparkdedup.exact import exact_hash_dedup
+
+        before = df.count()
+        kept = exact_hash_dedup(df, ExactHashConfig(column=args.column, hash_func=args.hash_func))
+        after = kept.count()
+    elif args.mode == "ccnet":
+        from sparkdedup.exact import ccnet_dedup
+
+        before = df.count()
+        kept = ccnet_dedup(df, CCNetConfig(column=args.column, hash_func=args.hash_func))
+        after = kept.count()
+    elif args.mode == "substring":
+        from sparkdedup.suffix import substring_dedup
+
+        res = substring_dedup(
+            df, SubstringConfig(column=args.column, k=args.k, strategy=args.strategy, stride=args.stride)
+        )
+        kept, before, after = res.kept, res.metrics.rows_before, res.metrics.rows_after
+    else:  # pragma: no cover
+        raise SystemExit(f"unknown mode {args.mode}")
+
+    partitioned_save(kept, args.output)
+    summary = {"mode": args.mode, "before": before, "after": after, "seconds": round(time.time() - t0, 2)}
+    if args.metrics:
+        with open(args.metrics, "w") as f:
+            json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

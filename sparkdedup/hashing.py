@@ -162,20 +162,20 @@ def xxh64_fixed(mat: np.ndarray, seed: int = 0) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _hash_bytes_batch(items: Sequence[bytes], kernel, seed: int, dtype) -> np.ndarray:
-    """Hash a batch of byte strings, vectorizing within equal-length groups.
+def _hash_spans(flat: np.ndarray, offsets: np.ndarray, lengths: np.ndarray, kernel, seed: int, dtype) -> np.ndarray:
+    """Hash n byte-string *spans* of one flat uint8 buffer, vectorizing
+    within equal-length groups.
 
-    Shingles of a corpus cluster tightly in byte length, so the number of
-    distinct lengths per batch is small; each group is hashed as one
-    (n, L) matrix pass.
+    Shingles of a corpus cluster tightly in byte length, so the number
+    of distinct lengths per batch is small; each group is gathered into
+    one (n, L) matrix pass. This span form is the zero-allocation hot
+    path: callers pass views into a single buffer instead of millions
+    of small bytes objects.
     """
-    n = len(items)
+    n = len(offsets)
     out = np.empty(n, dtype=dtype)
     if n == 0:
         return out
-    lengths = np.fromiter((len(b) for b in items), count=n, dtype=np.int64)
-    flat = np.frombuffer(b"".join(items), dtype=np.uint8)
-    offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
     for length in np.unique(lengths):
         idx = np.nonzero(lengths == length)[0]
         if length == 0:
@@ -184,6 +184,25 @@ def _hash_bytes_batch(items: Sequence[bytes], kernel, seed: int, dtype) -> np.nd
             mat = flat[offsets[idx][:, None] + np.arange(length)[None, :]]
         out[idx] = kernel(mat, seed=seed)
     return out
+
+
+def _hash_bytes_batch(items: Sequence[bytes], kernel, seed: int, dtype) -> np.ndarray:
+    """Hash a batch of byte strings (list form; see _hash_spans)."""
+    n = len(items)
+    if n == 0:
+        return np.empty(0, dtype=dtype)
+    lengths = np.fromiter((len(b) for b in items), count=n, dtype=np.int64)
+    flat = np.frombuffer(b"".join(items), dtype=np.uint8)
+    offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    return _hash_spans(flat, offsets, lengths, kernel, seed, dtype)
+
+
+def xxh32_spans(flat: np.ndarray, offsets: np.ndarray, lengths: np.ndarray, seed: int = 0) -> np.ndarray:
+    return _hash_spans(flat, offsets, lengths, xxh32_fixed, seed, np.uint32)
+
+
+def xxh64_spans(flat: np.ndarray, offsets: np.ndarray, lengths: np.ndarray, seed: int = 0) -> np.ndarray:
+    return _hash_spans(flat, offsets, lengths, xxh64_fixed, seed, np.uint64)
 
 
 def xxh32_batch(items: Sequence[bytes], seed: int = 0) -> np.ndarray:

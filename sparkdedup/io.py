@@ -48,6 +48,20 @@ def with_doc_id(df: DataFrame, id_column: Optional[str] = None) -> DataFrame:
     return df.withColumn(DOC_ID, F.monotonically_increasing_id())
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition ONLY if the input is under-parallelized (fewer
+    partitions than cores) — e.g. one big parquet file. At real scale
+    the scan already yields thousands of splits and this is a no-op, so
+    no gratuitous 100TB shuffle; locally it keeps a single-file corpus
+    from serializing the signature UDF onto one core.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def partitioned_save(
     df: DataFrame,
     output: str,

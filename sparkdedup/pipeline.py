@@ -1,0 +1,161 @@
+"""End-to-end job drivers: stage-checkpointed, resumable, metrics out.
+
+North-rule requirements (BASELINE.json): resumable from checkpoint with
+per-partition lineage + metrics. Design:
+
+  * every expensive intermediate (ids+signatures implicit via
+    deterministic recompute, candidate EDGES, the CC ASSIGNMENT) is
+    materialized as parquet under ``work_dir`` with Spark's atomic
+    _SUCCESS markers;
+  * on restart the driver scans work_dir and resumes AFTER the last
+    complete stage — a killed CC run restarts from the saved edges, a
+    killed write restarts from the saved assignment; nothing re-reads
+    the raw corpus except the final join;
+  * per-stage wall times + row counts + per-partition output row
+    counts are written as one metrics JSON artifact.
+
+The CC loop itself additionally localCheckpoints every round
+(sparkdedup.cc), bounding recomputation within the stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkdedup.cc import connected_components
+from sparkdedup.config import MinHashConfig
+from sparkdedup.io import DOC_ID, partitioned_save, read_documents, with_doc_id
+from sparkdedup.minhash import COMPONENT, SIG, band_edges, make_signature_udf
+
+
+@dataclass
+class StageInfo:
+    seconds: float = 0.0
+    rows: int = -1
+    resumed: bool = False
+
+
+@dataclass
+class RunMetrics:
+    mode: str = "minhash"
+    stages: Dict[str, StageInfo] = field(default_factory=dict)
+    partition_rows: Dict[str, int] = field(default_factory=dict)
+    rows_before: int = -1
+    rows_after: int = -1
+
+
+def _complete(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def minhash_job(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    work_dir: str,
+    cfg: MinHashConfig = MinHashConfig(),
+    id_column: Optional[str] = None,
+    metrics_path: Optional[str] = None,
+) -> RunMetrics:
+    """Resumable MinHash-LSH dedup: input table -> deduped output table
+    + assignment artifact + metrics JSON."""
+    m = RunMetrics(mode="minhash")
+    os.makedirs(work_dir, exist_ok=True)
+    ids_path = os.path.join(work_dir, "ids.parquet")
+    edges_path = os.path.join(work_dir, "edges.parquet")
+    assign_path = os.path.join(work_dir, "assignment.parquet")
+
+    # --- stage: id assignment (materialized: monotonically_increasing_id
+    # is NOT stable across recomputation — reference persists for the
+    # same reason, minhash_spark.py:419-430)
+    t = time.time()
+    if _complete(ids_path):
+        ids_df = spark.read.parquet(ids_path)
+        m.stages["ids"] = StageInfo(time.time() - t, resumed=True)
+    else:
+        from sparkdedup.io import ensure_parallelism
+
+        df = ensure_parallelism(read_documents(spark, input_path))
+        ids_df = with_doc_id(df, id_column)
+        ids_df.write.parquet(ids_path, mode="overwrite")
+        ids_df = spark.read.parquet(ids_path)
+        m.stages["ids"] = StageInfo(time.time() - t)
+    m.rows_before = ids_df.count()
+
+    # --- stage: signatures -> kept ids (length filter) + edges
+    t = time.time()
+    kept_ids_path = os.path.join(work_dir, "kept_ids.parquet")
+    if _complete(edges_path) and _complete(kept_ids_path):
+        edges = spark.read.parquet(edges_path)
+        m.stages["edges"] = StageInfo(time.time() - t, resumed=True)
+    else:
+        from pyspark import StorageLevel
+
+        sig_udf = make_signature_udf(cfg)
+        with_sig = (
+            ids_df.select(F.col(DOC_ID), sig_udf(F.col(cfg.column)).alias(SIG))
+            .filter(F.col(SIG).isNotNull())
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        with_sig.select(DOC_ID).write.parquet(kept_ids_path, mode="overwrite")
+        bands = with_sig.select(F.col(DOC_ID), F.posexplode(SIG).alias("band", "hash"))
+        band_edges(bands).write.parquet(edges_path, mode="overwrite")
+        with_sig.unpersist()
+        edges = spark.read.parquet(edges_path)
+        m.stages["edges"] = StageInfo(time.time() - t)
+    m.stages["edges"].rows = edges.count()
+
+    # --- stage: connected components
+    t = time.time()
+    if _complete(assign_path):
+        assignment = spark.read.parquet(assign_path)
+        m.stages["cc"] = StageInfo(time.time() - t, resumed=True)
+    else:
+        assignment, _ = connected_components(edges)
+        assignment.write.parquet(assign_path, mode="overwrite")
+        assignment = spark.read.parquet(assign_path)
+        m.stages["cc"] = StageInfo(time.time() - t)
+    m.stages["cc"].rows = assignment.count()
+
+    # --- stage: length filter (precomputed ids) + representative filter + write
+    t = time.time()
+    kept_ids = spark.read.parquet(kept_ids_path)
+    kept = (
+        ids_df.join(kept_ids, on=DOC_ID, how="leftsemi")
+        .join(
+            assignment.withColumnRenamed("id", DOC_ID).withColumnRenamed("component", COMPONENT),
+            on=DOC_ID,
+            how="left",
+        )
+        .filter(F.col(COMPONENT).isNull() | (F.col(COMPONENT) == F.col(DOC_ID)))
+        .drop(COMPONENT)
+    )
+    partitioned_save(kept, output_path)
+    m.stages["write"] = StageInfo(time.time() - t)
+
+    out = spark.read.parquet(output_path)
+    m.rows_after = out.count()
+    pid_rows = out.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+    m.partition_rows = {str(r["pid"]): r["count"] for r in pid_rows}
+
+    if metrics_path:
+        with open(metrics_path, "w") as f:
+            json.dump(
+                {
+                    "mode": m.mode,
+                    "rows_before": m.rows_before,
+                    "rows_after": m.rows_after,
+                    "stages": {k: asdict(v) for k, v in m.stages.items()},
+                    "partition_rows": m.partition_rows,
+                },
+                f,
+                indent=2,
+            )
+    return m

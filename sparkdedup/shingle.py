@@ -10,29 +10,49 @@ Semantics are pinned to the reference:
   * char shingles (SimHash): n-grams over raw characters, ""-joined and
     lower-cased (/root/reference/text_dedup/simhash.py:339).
 
-These run inside Arrow-batched UDFs: Python only at the batch level; the
-hashing of all shingles in a batch is a single vectorized call.
+Hot-path design (the 100TB-critical part): for ASCII documents —
+virtually all source code — NO per-shingle Python objects are created.
+Key identity: splitting on single ``\\W`` chars and re-joining n
+consecutive tokens with one space means every shingle string is exactly
+a SLICE of ``S`` = content.lower() with each non-word byte replaced by
+a space. So we byte-translate the document once (C pass), find token
+boundaries with NumPy, and hash all shingles as (offset, length) spans
+of one flat buffer (hashing.xxh32_spans). Non-ASCII documents fall back
+to the faithful Python-string path (``\\W`` must be evaluated under
+re.UNICODE there).
 """
 
 from __future__ import annotations
 
 import re
-from typing import Iterable, List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from sparkdedup.hashing import xxh32_batch, xxh64_batch
+from sparkdedup.hashing import xxh32_spans, xxh64_spans
 
 # Python \W with re.UNICODE — the reference's NON_ALPHA
 # (minhash_spark.py:34). The Java-regex equivalent used for pure-column
-# token counting is '(?U)\\W' (see minhash.py:token_count_expr).
+# token counting is '(?U)\\W'.
 NON_ALPHA = re.compile(r"\W", re.UNICODE)
+
+# ASCII translate table: word bytes [a-z0-9_] pass, [A-Z] lower-cased,
+# every other byte -> space. On ASCII input this makes
+# translated[start:end] == " ".join-of-lowered-tokens slices.
+_WORD_TRANS = bytes(
+    (b + 32) if 65 <= b <= 90  # A-Z -> a-z
+    else b if (97 <= b <= 122 or 48 <= b <= 57 or b == 95)  # a-z 0-9 _
+    else 32
+    for b in range(256)
+)
+
+_LOWER_TRANS = bytes((b + 32) if 65 <= b <= 90 else b for b in range(256))
 
 
 def word_shingles(text: str, n: int, min_length: int) -> Optional[set]:
     """Distinct word n-gram shingles of one document, or None if the
     document has fewer than ``min_length`` tokens (filter semantics,
-    minhash_spark.py:140-168)."""
+    minhash_spark.py:140-168). Reference-faithful slow path."""
     tokens = NON_ALPHA.split(text.lower())
     if len(tokens) < min_length:
         return None
@@ -51,50 +71,145 @@ def char_shingles(text: str, n: int, min_length: int = 5) -> Optional[set]:
     return {text[i : i + n].lower().encode("utf-8") for i in range(len(text) - n + 1)}
 
 
-def _batch_hashes(
-    shingle_sets: List[Optional[Iterable[bytes]]],
-    hash_batch,
-    dtype,
-    seed: int = 0,
+def _word_spans(data_len: int, sep_pos: np.ndarray, n: int, min_length: int) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Shingle (offset, length) spans for one translated doc of
+    ``data_len`` bytes whose separator (space) byte positions are
+    ``sep_pos``. None = below min_length tokens."""
+    t = sep_pos.size + 1
+    if t < min_length:
+        return None
+    if t < n:
+        return np.zeros(1, dtype=np.int64), np.array([data_len], dtype=np.int64)
+    starts = np.empty(t, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = sep_pos + 1
+    ends = np.empty(t, dtype=np.int64)
+    ends[:-1] = sep_pos
+    ends[-1] = data_len
+    offs = starts[: t - n + 1]
+    lens = ends[n - 1 :] - offs
+    return offs, lens
+
+
+def word_shingle_hashes_batch(
+    texts: Sequence[str], n: int, min_length: int, seed: int = 0
 ) -> List[Optional[np.ndarray]]:
-    """Hash every shingle of every doc in ONE vectorized call, then split
-    back per document."""
-    all_shingles: List[bytes] = []
-    counts: List[int] = []
-    for s in shingle_sets:
-        if s is None:
-            counts.append(-1)
+    """Per-doc arrays of DISTINCT xxh32 shingle hashes (None = too
+    short). Equivalent to the reference's fused ``ngram_hashes``
+    (minhash_spark.py:108-137) applied to each doc of the batch."""
+    bufs: List[bytes] = []
+    all_offs: List[np.ndarray] = []
+    all_lens: List[np.ndarray] = []
+    counts: List[int] = []  # -1 = None (too short)
+    base = 0
+    for text in texts:
+        if text.isascii():
+            data = text.encode("ascii").translate(_WORD_TRANS)
+            arr = np.frombuffer(data, dtype=np.uint8)
+            spans = _word_spans(arr.size, np.nonzero(arr == 32)[0], n, min_length)
+            if spans is None:
+                counts.append(-1)
+                continue
+            offs, lens = spans
+            bufs.append(data)
+            all_offs.append(offs + base)
+            all_lens.append(lens)
+            counts.append(len(offs))
+            base += len(data)
         else:
-            shingles = list(s)
-            counts.append(len(shingles))
-            all_shingles.extend(shingles)
-    hashes = hash_batch(all_shingles, seed=seed)
+            shingle_set = word_shingles(text, n, min_length)
+            if shingle_set is None:
+                counts.append(-1)
+                continue
+            offs = np.empty(len(shingle_set), dtype=np.int64)
+            lens = np.empty(len(shingle_set), dtype=np.int64)
+            for i, s in enumerate(shingle_set):
+                offs[i] = base
+                lens[i] = len(s)
+                bufs.append(s)
+                base += len(s)
+            all_offs.append(offs)
+            all_lens.append(lens)
+            counts.append(len(offs))
+
+    if all_offs:
+        flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        hashes = xxh32_spans(
+            flat, np.concatenate(all_offs), np.concatenate(all_lens), seed=seed
+        )
+    else:
+        hashes = np.empty(0, dtype=np.uint32)
+
     out: List[Optional[np.ndarray]] = []
     pos = 0
     for c in counts:
         if c < 0:
             out.append(None)
         else:
-            out.append(hashes[pos : pos + c])
+            # distinct-hash semantics == the reference's shingle set
+            out.append(np.unique(hashes[pos : pos + c]))
             pos += c
     return out
-
-
-def word_shingle_hashes_batch(
-    texts: Sequence[str], n: int, min_length: int, seed: int = 0
-) -> List[Optional[np.ndarray]]:
-    """Per-doc arrays of distinct xxh32 shingle hashes (None = too short).
-
-    Equivalent to the reference's fused ``ngram_hashes``
-    (minhash_spark.py:108-137) applied to each doc of the batch.
-    """
-    sets = [word_shingles(t, n, min_length) for t in texts]
-    return _batch_hashes(sets, xxh32_batch, np.uint32, seed=seed)
 
 
 def char_shingle_hashes64_batch(
     texts: Sequence[str], n: int, min_length: int = 5, seed: int = 0
 ) -> List[Optional[np.ndarray]]:
-    """Per-doc arrays of distinct 64-bit char-shingle hashes (SimHash)."""
-    sets = [char_shingles(t, n, min_length) for t in texts]
-    return _batch_hashes(sets, xxh64_batch, np.uint64, seed=seed)
+    """Per-doc arrays of DISTINCT 64-bit char-shingle hashes (SimHash)."""
+    bufs: List[bytes] = []
+    all_offs: List[np.ndarray] = []
+    all_lens: List[np.ndarray] = []
+    counts: List[int] = []
+    base = 0
+    for text in texts:
+        if text.isascii():
+            ln = len(text)
+            if ln < min_length:
+                counts.append(-1)
+                continue
+            data = text.encode("ascii").translate(_LOWER_TRANS)
+            if ln < n:
+                offs = np.zeros(1, dtype=np.int64)
+                lens = np.array([ln], dtype=np.int64)
+            else:
+                offs = np.arange(ln - n + 1, dtype=np.int64)
+                lens = np.full(ln - n + 1, n, dtype=np.int64)
+            bufs.append(data)
+            all_offs.append(offs + base)
+            all_lens.append(lens)
+            counts.append(len(offs))
+            base += len(data)
+        else:
+            shingle_set = char_shingles(text, n, min_length)
+            if shingle_set is None:
+                counts.append(-1)
+                continue
+            offs = np.empty(len(shingle_set), dtype=np.int64)
+            lens = np.empty(len(shingle_set), dtype=np.int64)
+            for i, s in enumerate(shingle_set):
+                offs[i] = base
+                lens[i] = len(s)
+                bufs.append(s)
+                base += len(s)
+            all_offs.append(offs)
+            all_lens.append(lens)
+            counts.append(len(offs))
+
+    if all_offs:
+        flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        hashes = xxh64_spans(
+            flat, np.concatenate(all_offs), np.concatenate(all_lens), seed=seed
+        )
+    else:
+        hashes = np.empty(0, dtype=np.uint64)
+
+    out: List[Optional[np.ndarray]] = []
+    pos = 0
+    for c in counts:
+        if c < 0:
+            out.append(None)
+        else:
+            # distinct-hash semantics == the reference's shingle set
+            out.append(np.unique(hashes[pos : pos + c]))
+            pos += c
+    return out

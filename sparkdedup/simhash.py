@@ -208,8 +208,11 @@ def simhash_dedup(
     """End-to-end SimHash dedup; min-id representative of each cluster
     survives (cluster==index filter, simhash.py:447-452). Docs too
     short to fingerprint are kept as unique."""
+    from sparkdedup.io import ensure_parallelism
+
     metrics = SimHashMetrics()
     fp_udf = make_fingerprint_udf(cfg)
+    df = ensure_parallelism(df)
     with_fp = df.withColumn(FP, fp_udf(F.col(cfg.column))).persist(storage_level)
     fps = with_fp.filter(F.col(FP).isNotNull()).select(F.col(id_col), FP)
     if collect_metrics:

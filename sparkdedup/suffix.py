@@ -191,8 +191,10 @@ def substring_dedup(
 ) -> SubstringResult:
     """Remove every byte range (length >= k) whose content appears more
     than once in the corpus; drop emptied docs."""
+    from sparkdedup.io import ensure_parallelism
+
     metrics = SubstringMetrics()
-    df = df.persist(storage_level)
+    df = ensure_parallelism(df).persist(storage_level)
     if collect_metrics:
         metrics.rows_before = df.count()
 

@@ -1,0 +1,73 @@
+"""Resumable staged pipeline + CLI smoke (in-session)."""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkdedup.config import MinHashConfig
+from sparkdedup.fixtures import write_code_files
+from sparkdedup.pipeline import minhash_job
+
+
+@pytest.fixture(scope="module")
+def corpus_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("data") / "code_files.parquet"
+    write_code_files(str(p), n_rows=400, seed=42)
+    return str(p)
+
+
+def test_minhash_job_end_to_end(spark, tmp_path, corpus_path):
+    out = str(tmp_path / "out")
+    work = str(tmp_path / "work")
+    metrics_path = str(tmp_path / "metrics.json")
+    m = minhash_job(
+        spark, corpus_path, out, work, MinHashConfig(), id_column="doc_id", metrics_path=metrics_path
+    )
+    assert m.rows_before == 400
+    assert 0 < m.rows_after < 400
+    assert os.path.exists(os.path.join(work, "edges.parquet", "_SUCCESS"))
+    assert os.path.exists(os.path.join(work, "assignment.parquet", "_SUCCESS"))
+    blob = json.load(open(metrics_path))
+    assert blob["rows_after"] == m.rows_after
+    assert blob["stages"]["cc"]["rows"] >= 0
+    assert sum(blob["partition_rows"].values()) == m.rows_after
+
+
+def test_minhash_job_resumes_from_checkpoints(spark, tmp_path, corpus_path):
+    out1 = str(tmp_path / "out1")
+    work = str(tmp_path / "work")
+    m1 = minhash_job(spark, corpus_path, out1, work, MinHashConfig(), id_column="doc_id")
+
+    # simulate a crash after CC: output is gone, work dir remains
+    out2 = str(tmp_path / "out2")
+    m2 = minhash_job(spark, corpus_path, out2, work, MinHashConfig(), id_column="doc_id")
+    assert m2.stages["ids"].resumed
+    assert m2.stages["edges"].resumed
+    assert m2.stages["cc"].resumed
+    assert m2.rows_after == m1.rows_after
+    r1 = {r["doc_id"] for r in spark.read.parquet(out1).select("doc_id").collect()}
+    r2 = {r["doc_id"] for r in spark.read.parquet(out2).select("doc_id").collect()}
+    assert r1 == r2
+
+    # simulate a crash mid-CC: edges exist, assignment half-written
+    shutil.rmtree(os.path.join(work, "assignment.parquet"))
+    out3 = str(tmp_path / "out3")
+    m3 = minhash_job(spark, corpus_path, out3, work, MinHashConfig(), id_column="doc_id")
+    assert m3.stages["edges"].resumed and not m3.stages["cc"].resumed
+    r3 = {r["doc_id"] for r in spark.read.parquet(out3).select("doc_id").collect()}
+    assert r3 == r1
+
+
+def test_cli_parser_defaults():
+    from sparkdedup.cli import build_parser
+
+    p = build_parser()
+    a = p.parse_args(["minhash", "-i", "in", "-o", "out"])
+    assert a.threshold == 0.7 and a.num_perm == 250 and a.ngram_size == 5
+    a = p.parse_args(["substring", "-i", "in", "-o", "out", "--k", "50"])
+    assert a.k == 50 and a.strategy == "overlapping"
+    a = p.parse_args(["exact", "-i", "in", "-o", "out", "--hash_func", "md5"])
+    assert a.hash_func == "md5"
