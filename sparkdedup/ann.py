@@ -96,6 +96,9 @@ def make_bucket_udf(dim: int, cfg: ANNConfig):
 
     @pandas_udf(ArrayType(LongType()))
     def buckets(vecs: pd.Series) -> pd.Series:
+        from sparkdedup.tuning import tune_worker_memory
+
+        tune_worker_memory()
         mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
         bits = (mat @ flat) > 0  # (batch, T*H)
         bits = bits.reshape(len(vecs), cfg.num_tables, cfg.num_hyperplanes)

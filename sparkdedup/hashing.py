@@ -43,18 +43,23 @@ def _rotl32(x: np.ndarray, r: int) -> np.ndarray:
 
 
 def _u32le(mat: np.ndarray, off: int) -> np.ndarray:
-    """Read a little-endian uint32 at byte offset `off` of every row."""
+    """Read a little-endian uint32 at byte offset `off` of every string.
+
+    Matrices are TRANSPOSED (L, n): row `off` holds byte `off` of all n
+    strings contiguously — sequential loads instead of stride-L gathers.
+    """
     return (
-        mat[:, off].astype(np.uint32)
-        | (mat[:, off + 1].astype(np.uint32) << np.uint32(8))
-        | (mat[:, off + 2].astype(np.uint32) << np.uint32(16))
-        | (mat[:, off + 3].astype(np.uint32) << np.uint32(24))
+        mat[off].astype(np.uint32)
+        | (mat[off + 1].astype(np.uint32) << np.uint32(8))
+        | (mat[off + 2].astype(np.uint32) << np.uint32(16))
+        | (mat[off + 3].astype(np.uint32) << np.uint32(24))
     )
 
 
 def xxh32_fixed(mat: np.ndarray, seed: int = 0) -> np.ndarray:
-    """XXH32 of n equal-length byte strings given as a (n, L) uint8 matrix."""
-    n, length = mat.shape
+    """XXH32 of n equal-length byte strings given as a TRANSPOSED (L, n)
+    uint8 matrix (byte position major; see _u32le)."""
+    length, n = mat.shape
     seed = np.uint32(seed)
     with np.errstate(over="ignore"):
         if length >= 16:
@@ -78,7 +83,7 @@ def xxh32_fixed(mat: np.ndarray, seed: int = 0) -> np.ndarray:
             h = _rotl32(h + _u32le(mat, p) * _P32_3, 17) * _P32_4
             p += 4
         while p < length:
-            h = _rotl32(h + mat[:, p].astype(np.uint32) * _P32_5, 11) * _P32_1
+            h = _rotl32(h + mat[p].astype(np.uint32) * _P32_5, 11) * _P32_1
             p += 1
         h ^= h >> np.uint32(15)
         h *= _P32_2
@@ -104,9 +109,9 @@ def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
 
 
 def _u64le(mat: np.ndarray, off: int) -> np.ndarray:
-    out = mat[:, off].astype(np.uint64)
+    out = mat[off].astype(np.uint64)
     for i in range(1, 8):
-        out |= mat[:, off + i].astype(np.uint64) << np.uint64(8 * i)
+        out |= mat[off + i].astype(np.uint64) << np.uint64(8 * i)
     return out
 
 
@@ -116,8 +121,9 @@ def _mrg64(acc: np.ndarray, lane: np.ndarray) -> np.ndarray:
 
 
 def xxh64_fixed(mat: np.ndarray, seed: int = 0) -> np.ndarray:
-    """XXH64 of n equal-length byte strings given as a (n, L) uint8 matrix."""
-    n, length = mat.shape
+    """XXH64 of n equal-length byte strings given as a TRANSPOSED (L, n)
+    uint8 matrix (byte position major; see _u32le)."""
+    length, n = mat.shape
     seed = np.uint64(seed)
     with np.errstate(over="ignore"):
         p = 0
@@ -147,7 +153,7 @@ def xxh64_fixed(mat: np.ndarray, seed: int = 0) -> np.ndarray:
             h = _rotl64(h ^ (_u32le(mat, p).astype(np.uint64) * _P64_1), 23) * _P64_2 + _P64_3
             p += 4
         while p < length:
-            h = _rotl64(h ^ (mat[:, p].astype(np.uint64) * _P64_5), 11) * _P64_1
+            h = _rotl64(h ^ (mat[p].astype(np.uint64) * _P64_5), 11) * _P64_1
             p += 1
         h ^= h >> np.uint64(33)
         h *= _P64_2
@@ -179,10 +185,15 @@ def _hash_spans(flat: np.ndarray, offsets: np.ndarray, lengths: np.ndarray, kern
     for length in np.unique(lengths):
         idx = np.nonzero(lengths == length)[0]
         if length == 0:
-            mat = np.empty((len(idx), 0), dtype=np.uint8)
-        else:
-            mat = flat[offsets[idx][:, None] + np.arange(length)[None, :]]
-        out[idx] = kernel(mat, seed=seed)
+            out[idx] = kernel(np.empty((0, len(idx)), dtype=np.uint8), seed=seed)
+            continue
+        # transposed gather, sub-chunked so each (L, n_sub) matrix stays
+        # ~1MB (cache-resident under wide-executor concurrency)
+        n_sub = max(1024, (1 << 20) // int(length))
+        for s0 in range(0, len(idx), n_sub):
+            sub = idx[s0 : s0 + n_sub]
+            mat = flat[np.arange(length)[:, None] + offsets[sub][None, :]]
+            out[sub] = kernel(mat, seed=seed)
     return out
 
 

@@ -134,6 +134,9 @@ def make_signature_udf(cfg: MinHashConfig):
 
     @pandas_udf(ArrayType(BinaryType()))
     def signature(texts: pd.Series) -> pd.Series:
+        from sparkdedup.tuning import tune_worker_memory
+
+        tune_worker_memory()
         return pd.Series(compute_band_signatures(texts.tolist(), cfg))
 
     return signature

@@ -55,6 +55,23 @@ def _complete(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+def sample_clusters(
+    docs: DataFrame,
+    assignment: DataFrame,
+    n_clusters: int = 10,
+    id_col: str = DOC_ID,
+    seed: int = 42,
+) -> DataFrame:
+    """Debug sampler: a few non-trivial clusters with their member rows
+    (reference utils/inspect.py:9-25)."""
+    sizes = assignment.groupBy("component").count().filter(F.col("count") > 1)
+    picked = sizes.orderBy(F.xxhash64(F.col("component") + seed)).limit(n_clusters)
+    members = assignment.join(picked.select("component"), on="component")
+    return docs.join(
+        members.withColumnRenamed("id", id_col), on=id_col
+    ).orderBy("component", id_col)
+
+
 def minhash_job(
     spark: SparkSession,
     input_path: str,

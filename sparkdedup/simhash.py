@@ -139,6 +139,9 @@ def compute_fingerprints(texts: List[str], cfg: SimHashConfig) -> List[Optional[
 def make_fingerprint_udf(cfg: SimHashConfig):
     @pandas_udf(LongType())
     def fingerprint(texts: pd.Series) -> pd.Series:
+        from sparkdedup.tuning import tune_worker_memory
+
+        tune_worker_memory()
         return pd.Series(compute_fingerprints(texts.tolist(), cfg), dtype="object")
 
     return fingerprint

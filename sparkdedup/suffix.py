@@ -111,6 +111,9 @@ def make_window_udf(cfg: SubstringConfig):
 
     @pandas_udf(_WIN_SCHEMA)
     def windows(texts: pd.Series) -> pd.Series:
+        from sparkdedup.tuning import tune_worker_memory
+
+        tune_worker_memory()
         out = []
         for t in texts:
             data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
@@ -158,6 +161,9 @@ def splice_out(text: str, offsets: List[int], k: int) -> str:
 def make_splice_udf(cfg: SubstringConfig):
     @pandas_udf(StringType())
     def splice(texts: pd.Series, offs: pd.Series) -> pd.Series:
+        from sparkdedup.tuning import tune_worker_memory
+
+        tune_worker_memory()
         out = []
         for t, o in zip(texts, offs):
             if o is None or len(o) == 0:

@@ -82,6 +82,17 @@ def language_id(col: Column) -> Column:
     return expr
 
 
+def news_copy_preprocess(col: Column) -> Column:
+    """NEWS-COPY benchmark preprocessing (reference
+    utils/preprocess.py:41-59): de-hyphenate line breaks, flatten
+    newlines, strip a fixed punctuation set, drop non-ASCII."""
+    c = F.regexp_replace(col, r"-\n", "")
+    c = F.regexp_replace(c, r"\n", " ")
+    # chars_to_remove = "#$%&\()*+/:;<=>@[\]^_`{|}~.?,!'  and double quote
+    c = F.translate(c, "\"#$%&\\()*+/:;<=>@[]^_`{|}~.?,!'", "")
+    return F.regexp_replace(c, r"[^\x00-\x7F]", "")
+
+
 def doc_fingerprint(col: Column) -> Column:
     """Stable content fingerprint (md5 hex — same function exists in
     DuckDB, so value-level oracle checks work)."""
