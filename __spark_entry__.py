@@ -204,6 +204,17 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(embs, dim, ANNConfig(threshold=0.35, num_hyperplanes=4, num_tables=16), exact=False)
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF scale path (KMeans cells + n_probe search); rows-only check —
+    # recall vs brute force is asserted in tests/test_ann.py
+    from sparkdedup.ann import ivf_topk
+    from sparkdedup.config import ANNConfig
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    return ivf_topk(embs, queries, ANNConfig(top_k=5), n_centroids=8, n_probe=4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: MinHash-LSH dedup of sf0.001 documents."""
     return q_minhash_dedup(spark, "/root/testdata/sf0.001")
@@ -225,6 +236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_dedup": q_jaccard_dedup,
         "asset_features": q_asset_features,
         "ann_topk": q_ann_topk,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     }

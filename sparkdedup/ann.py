@@ -116,6 +116,70 @@ def lsh_buckets(vectors: DataFrame, dim: int, cfg: ANNConfig = ANNConfig()) -> D
     )
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    cfg: ANNConfig = ANNConfig(),
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans-partition the
+    corpus, search each query only in its ``n_probe`` nearest cells.
+
+    The scale path for large query sets: the corpus is shuffled ONCE on
+    the (tiny-cardinality) cell id, queries join only their probed
+    cells — no cross join. Deterministic (fixed KMeans seed); recall
+    rises with n_probe (n_probe == n_centroids is exact).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql import Window
+
+    idc, vc = cfg.id_column, cfg.vector_column
+    v = vectors.select(
+        F.col(idc).alias("neighbor_id"), unit_vector(F.col(vc).cast("array<double>")).alias("nv")
+    ).persist()
+    ml = v.withColumn("features", array_to_vector(F.col("nv")))
+    model = KMeans(k=n_centroids, seed=cfg.seed, featuresCol="features").fit(ml)
+    assigned = model.transform(ml).select("neighbor_id", "nv", F.col("prediction").alias("cell"))
+
+    centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]
+    cent_df = F.array(*[
+        F.struct(F.lit(i).alias("cell"), F.array(*[F.lit(float(x)) for x in c]).alias("cv"))
+        for i, c in enumerate(centroids)
+    ])
+    q = queries.select(
+        F.col(idc).alias("query_id"), unit_vector(F.col(vc).cast("array<double>")).alias("qv")
+    ).withColumn("cents", cent_df)
+    # rank centroids per query by dot product, keep n_probe cells
+    probed = (
+        q.select(
+            "query_id",
+            "qv",
+            F.explode("cents").alias("c"),
+        )
+        .withColumn("cdot", dot(F.col("qv"), F.col("c.cv")))
+        .withColumn(
+            "crank",
+            F.row_number().over(Window.partitionBy("query_id").orderBy(F.desc("cdot"))),
+        )
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "qv", F.col("c.cell").alias("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probed), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", dot(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= cfg.top_k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+    )
+    return out
+
+
 def near_dup_pairs(
     vectors: DataFrame,
     dim: int,

@@ -42,6 +42,17 @@ from sparkdedup.hashing import generate_permutations
 from sparkdedup.io import DOC_ID
 from sparkdedup.shingle import word_shingle_hashes_batch
 
+# hash_bits -> (dtype, max_hash, modulo_prime); mirrors the reference
+# HASH_CONFIG (minhash.py:289-296): 64-bit is the legacy-datasketch mode
+# (32-bit hash data under the Mersenne prime 2^61-1 in uint64
+# arithmetic), 32/16-bit use near-2^n primes. The base shingle hash is
+# our pinned xxh32 (masked to 16 bits for the 16-bit mode).
+_HASH_CONFIG = {
+    64: (np.uint64, np.uint64((1 << 32) - 1), np.uint64((1 << 61) - 1)),
+    32: (np.uint32, np.uint32((1 << 32) - 1), np.uint32((1 << 32) - 5)),
+    16: (np.uint16, np.uint16((1 << 16) - 1), np.uint16((1 << 16) - 15)),
+}
+
 # Max shingles per vectorized permute chunk. Small on purpose: the
 # (CHUNK, num_perm) uint32 permute matrix (1024*250*4 = 1 MB) must stay
 # L2-resident PER WORKER — with 32 concurrent executor pythons the
@@ -74,11 +85,14 @@ def compute_band_signatures(
     the pandas UDF below is just its Arrow wrapper.
     """
     b, r = cfg.resolved_bands()
-    a_coef, b_coef = generate_permutations(cfg.num_perm, MOD_PRIME_32, cfg.seed)
-    prime = np.uint32(MOD_PRIME_32)
-    max_hash = np.uint32(MAX_HASH_32)
+    dtype, max_hash, prime = _HASH_CONFIG[cfg.hash_bits]
+    a_coef, b_coef = generate_permutations(cfg.num_perm, int(prime), cfg.seed, dtype=dtype)
 
     per_doc = word_shingle_hashes_batch(texts, cfg.ngram, cfg.min_length)
+    if cfg.hash_bits == 16:
+        per_doc = [None if h is None else (h & np.uint32(0xFFFF)).astype(np.uint16) for h in per_doc]
+    elif cfg.hash_bits == 64:
+        per_doc = [None if h is None else h.astype(np.uint64) for h in per_doc]
     out: List[Optional[List[bytes]]] = [None] * len(texts)
 
     # chunk whole docs so each permute matrix stays bounded
@@ -91,7 +105,7 @@ def compute_band_signatures(
         nonlocal budget
         if not chunk_idx:
             return
-        h = np.concatenate(chunk_hashes).astype(np.uint32, copy=False)
+        h = np.concatenate(chunk_hashes).astype(dtype, copy=False)
         with np.errstate(over="ignore"):
             # uint32 wrap-around BEFORE the modulus — the reference
             # relies on this exact overflow behavior (minhash.py:122).
@@ -115,7 +129,7 @@ def compute_band_signatures(
             continue
         if hashes.size == 0:
             # len(tokens) >= min_length guarantees >= 1 shingle, but be safe
-            out[i] = [np.full(r, MAX_HASH_32, dtype=np.uint32).tobytes()] * b
+            out[i] = [np.full(r, max_hash, dtype=dtype).tobytes()] * b
             continue
         chunk_idx.append(i)
         chunk_counts.append(hashes.size)

@@ -1,0 +1,94 @@
+"""Structured Streaming dedup surface.
+
+The reference is batch-only (SURVEY.md §2.9: no streaming of any kind);
+these operators extend the engine to continuously-arriving corpora —
+the shape a production training-data pipeline actually has (new crawl
+shards landing as files):
+
+  * ``streaming_exact_dedup`` — keep the first-seen occurrence of each
+    content hash across micro-batches; state is bounded by a watermark
+    (``dropDuplicatesWithinWatermark``), so the operator survives
+    unbounded streams.
+  * ``streaming_signatures`` — stateless MinHash band signatures on a
+    stream (the Arrow UDF is stateless, so it composes with any
+    downstream stateful operator); emits the exploded band table for a
+    periodic batch LSH/CC job over the accumulated output (the standard
+    lambda split: streaming fingerprinting, batch clustering).
+
+Both run with ``trigger(availableNow=True)`` for drain-and-stop
+semantics in tests and backfills.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkdedup.config import ExactHashConfig, MinHashConfig
+from sparkdedup.exact import content_hash
+from sparkdedup.minhash import SIG, make_signature_udf
+
+
+def read_document_stream(
+    spark: SparkSession,
+    input_path: str,
+    schema: str = "doc_id long, text string",
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """File-source document stream (new parquet files under input_path)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_path)
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    cfg: ExactHashConfig = ExactHashConfig(),
+    watermark_delay: str = "10 minutes",
+    ts_col: Optional[str] = None,
+) -> DataFrame:
+    """First-seen-wins exact dedup over a stream.
+
+    Without an event-time column, arrival time is used; the watermark
+    bounds the dedup state (duplicates farther apart than the delay can
+    recur — the documented streaming trade-off vs the batch operator).
+    """
+    ts = F.col(ts_col) if ts_col else F.current_timestamp()
+    hashed = stream.withColumn("__h__", content_hash(F.col(cfg.column), cfg.hash_func)).withColumn(
+        "__ts__", ts
+    )
+    return (
+        hashed.withWatermark("__ts__", watermark_delay)
+        .dropDuplicatesWithinWatermark(["__h__"])
+        .drop("__h__", "__ts__")
+    )
+
+
+def streaming_signatures(
+    stream: DataFrame, cfg: MinHashConfig = MinHashConfig(), id_col: str = "doc_id"
+) -> DataFrame:
+    """Stateless streaming MinHash banding: (id, band, hash)."""
+    sig_udf = make_signature_udf(cfg)
+    return (
+        stream.withColumn(SIG, sig_udf(F.col(cfg.column)))
+        .filter(F.col(SIG).isNotNull())
+        .select(F.col(id_col), F.posexplode(SIG).alias("band", "hash"))
+    )
+
+
+def run_to_parquet(
+    result: DataFrame, output_path: str, checkpoint_path: str
+) -> None:
+    """Drain the stream to parquet with availableNow semantics."""
+    (
+        result.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -46,8 +46,18 @@ class UnionFind:
                 self.parent[rx] = ry
 
 
-def doc_signature(text: str, ngram: int, min_length: int, num_perm: int, seed: int) -> Optional[np.ndarray]:
-    """Reference embed path, one doc at a time (minhash_spark.py:222-226)."""
+_HASH_CONFIG = {
+    64: (np.uint64, np.uint64((1 << 32) - 1), np.uint64((1 << 61) - 1)),
+    32: (np.uint32, np.uint32((1 << 32) - 1), np.uint32((1 << 32) - 5)),
+    16: (np.uint16, np.uint16((1 << 16) - 1), np.uint16((1 << 16) - 15)),
+}
+
+
+def doc_signature(
+    text: str, ngram: int, min_length: int, num_perm: int, seed: int, hash_bits: int = 32
+) -> Optional[np.ndarray]:
+    """Reference embed path, one doc at a time (minhash_spark.py:222-226;
+    HASH_CONFIG dtype table minhash.py:289-296)."""
     tokens = NON_ALPHA.split(text.lower())
     if len(tokens) < min_length:
         return None
@@ -57,11 +67,16 @@ def doc_signature(text: str, ngram: int, min_length: int, num_perm: int, seed: i
         shingles = {
             " ".join(tokens[i : i + ngram]).lower().encode("utf-8") for i in range(len(tokens) - ngram + 1)
         }
+    dtype, max_hash, prime = _HASH_CONFIG[hash_bits]
     hashes = xxh32_batch(sorted(shingles))
-    a, b = generate_permutations(num_perm, int(MOD_PRIME), seed)
+    if hash_bits == 16:
+        hashes = (hashes & np.uint32(0xFFFF)).astype(np.uint16)
+    else:
+        hashes = hashes.astype(dtype)
+    a, b = generate_permutations(num_perm, int(prime), seed, dtype=dtype)
     with np.errstate(over="ignore"):
-        ph = (np.outer(hashes, a) + b) % MOD_PRIME & MAX_HASH
-    padded = np.vstack([ph, np.full(num_perm, MAX_HASH, dtype=np.uint32)])
+        ph = (np.outer(hashes, a) + b) % prime & max_hash
+    padded = np.vstack([ph, np.full(num_perm, max_hash, dtype=dtype)])
     return padded.min(axis=0)
 
 
@@ -74,13 +89,14 @@ def minhash_clusters(
     b: int = 25,
     r: int = 10,
     seed: int = 42,
+    hash_bits: int = 32,
 ) -> Tuple[Dict[int, int], Set[int]]:
     """Returns (assignment: id -> min-id cluster label, kept_ids after the
     length filter). Docs not in any collision keep their own label."""
     tables: List[Dict[bytes, List[int]]] = [dict() for _ in range(b)]
     kept: Set[int] = set()
     for doc_id, text in zip(ids, texts):
-        sig = doc_signature(text, ngram, min_length, num_perm, seed)
+        sig = doc_signature(text, ngram, min_length, num_perm, seed, hash_bits)
         if sig is None:
             continue
         kept.add(doc_id)

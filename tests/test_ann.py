@@ -1,0 +1,83 @@
+"""Embedding similarity search: brute-force exactness, SRP-LSH recall,
+IVF recall vs the brute-force baseline."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparkdedup.ann import brute_force_topk, ivf_topk, lsh_buckets, near_dup_pairs
+from sparkdedup.config import ANNConfig
+
+N, DIM = 400, 32
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(42)
+    # 20 clusters of correlated vectors + noise -> meaningful neighbors
+    centers = rng.standard_normal((20, DIM))
+    rows = []
+    for i in range(N):
+        c = centers[i % 20]
+        v = c + 0.3 * rng.standard_normal(DIM)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").persist()
+
+
+def _topk_map(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    return {q: [n for _, n in sorted(v)] for q, v in out.items()}
+
+
+def test_brute_force_matches_numpy(spark, vectors):
+    cfg = ANNConfig(top_k=5)
+    queries = vectors.filter(F.col("vec_id") < 5)
+    got = _topk_map(brute_force_topk(vectors, queries, cfg).collect())
+
+    data = {r["vec_id"]: np.array(r["embedding"]) for r in vectors.collect()}
+    mat = np.stack([data[i] for i in range(N)])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for q in range(5):
+        sims = mat @ mat[q]
+        sims[q] = -np.inf
+        # numpy top-5 with (sim desc, id asc) tie order
+        order = sorted(range(N), key=lambda i: (-round(sims[i], 10), i))[:5]
+        assert got[q] == order, q
+
+
+def test_ivf_recall_vs_bruteforce(spark, vectors):
+    cfg = ANNConfig(top_k=5)
+    queries = vectors.filter(F.col("vec_id") < 20)
+    exact = _topk_map(brute_force_topk(vectors, queries, cfg).collect())
+    approx = _topk_map(ivf_topk(vectors, queries, cfg, n_centroids=8, n_probe=3).collect())
+    hits = sum(len(set(exact[q]) & set(approx.get(q, []))) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.8, f"IVF recall {recall}"
+
+
+def test_ivf_full_probe_is_exact(spark, vectors):
+    cfg = ANNConfig(top_k=3)
+    queries = vectors.filter(F.col("vec_id") < 5)
+    exact = _topk_map(brute_force_topk(vectors, queries, cfg).collect())
+    full = _topk_map(ivf_topk(vectors, queries, cfg, n_centroids=4, n_probe=4).collect())
+    assert full == exact
+
+
+def test_lsh_near_dup_recall(spark, vectors):
+    cfg = ANNConfig(threshold=0.8, num_hyperplanes=6, num_tables=12)
+    exact = {(r["id_a"], r["id_b"]) for r in near_dup_pairs(vectors, DIM, cfg, exact=True).collect()}
+    approx = {(r["id_a"], r["id_b"]) for r in near_dup_pairs(vectors, DIM, cfg, exact=False).collect()}
+    assert len(exact) > 20
+    assert approx <= exact  # verification never admits false pairs
+    assert len(approx & exact) / len(exact) >= 0.8
+
+
+def test_lsh_buckets_shape(spark, vectors):
+    cfg = ANNConfig(num_hyperplanes=4, num_tables=3)
+    b = lsh_buckets(vectors, DIM, cfg)
+    rows = b.groupBy("id").count().collect()
+    assert all(r["count"] == 3 for r in rows)
+    assert b.agg(F.max("bucket")).first()[0] < 16

@@ -109,3 +109,24 @@ def test_short_docs_dropped(spark, corpus, corpus_df):
     for row in corpus.itertuples(index=False):
         if len(non_alpha.split(row.content.lower())) < cfg.min_length:
             assert row.doc_id not in kept_ids
+
+
+@pytest.mark.parametrize("hash_bits", [16, 64])
+def test_minhash_hash_bits_variants_match_oracle(spark, corpus, corpus_df, hash_bits):
+    """16-bit and legacy-datasketch 64-bit arithmetic modes
+    (reference HASH_CONFIG, minhash.py:289-296)."""
+    cfg = MinHashConfig(ngram=5, min_length=5, num_perm=250, b=25, r=10, hash_bits=hash_bits)
+    from tests.oracle import minhash_clusters as mc
+
+    oracle_assign, oracle_kept = mc(
+        corpus["content"].tolist(),
+        corpus["doc_id"].tolist(),
+        ngram=5, min_length=5, num_perm=250, b=25, r=10,
+        seed=cfg.seed, hash_bits=hash_bits,
+    )
+    result = minhash_dedup(corpus_df, cfg)
+    ours = _our_assignment(result, oracle_kept)
+    op, sp = cluster_pairs(oracle_assign), cluster_pairs(ours)
+    assert len(op) > 50
+    assert len(op & sp) / len(op) >= 0.99
+    assert len(op & sp) / max(len(sp), 1) >= 0.99

@@ -1,0 +1,54 @@
+"""Structured Streaming dedup smoke tests (availableNow drains)."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from sparkdedup.config import ExactHashConfig, MinHashConfig
+from sparkdedup.streaming import (
+    read_document_stream,
+    run_to_parquet,
+    streaming_exact_dedup,
+    streaming_signatures,
+)
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    pd.DataFrame({"doc_id": [0, 1], "text": ["first unique doc", "dup doc content"]}).to_parquet(
+        d / "batch0.parquet", index=False
+    )
+    pd.DataFrame({"doc_id": [2, 3], "text": ["dup doc content", "second unique doc"]}).to_parquet(
+        d / "batch1.parquet", index=False
+    )
+    return str(d)
+
+
+def test_streaming_exact_dedup_first_seen(spark, stream_dir, tmp_path):
+    stream = read_document_stream(spark, stream_dir)
+    result = streaming_exact_dedup(stream, ExactHashConfig(column="text"))
+    out = str(tmp_path / "out")
+    run_to_parquet(result, out, str(tmp_path / "ckpt"))
+    rows = spark.read.parquet(out).collect()
+    texts = sorted(r["text"] for r in rows)
+    assert texts == ["dup doc content", "first unique doc", "second unique doc"]
+    assert len(rows) == 3  # one of the two 'dup doc content' rows dropped
+
+
+def test_streaming_signatures_stateless(spark, stream_dir, tmp_path):
+    stream = read_document_stream(spark, stream_dir)
+    bands = streaming_signatures(stream, MinHashConfig(column="text", min_length=2))
+    out = str(tmp_path / "bands")
+    run_to_parquet(bands, out, str(tmp_path / "ckpt2"))
+    df = spark.read.parquet(out)
+    assert set(df.columns) == {"doc_id", "band", "hash"}
+    got = df.groupBy("doc_id").count().collect()
+    assert {r["doc_id"] for r in got} == {0, 1, 2, 3}
+    assert all(r["count"] == 25 for r in got)  # B=25 bands per doc
+    # identical docs produce identical band hash sets on a stream
+    h1 = {(r["band"], bytes(r["hash"])) for r in df.filter("doc_id=1").collect()}
+    h2 = {(r["band"], bytes(r["hash"])) for r in df.filter("doc_id=2").collect()}
+    assert h1 == h2
