@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 class CCStats:
     iterations: int = 0
     label_sums: List[int] = field(default_factory=list)
+    mode: str = "distributed"
 
 
 def connected_components(
@@ -39,8 +40,18 @@ def connected_components(
     max_iterations: int = 50,
     src: str = "src",
     dst: str = "dst",
+    driver_threshold: int = 2_000_000,
 ) -> Tuple[DataFrame, CCStats]:
     """Compute connected components of an undirected edge list.
+
+    Hybrid strategy: LSH candidate graphs are usually a small fraction
+    of the corpus (edges ≈ duplicates, not documents), so below
+    ``driver_threshold`` edges the components are solved with a
+    driver-side union-find in one pass — exactly what the reference's
+    non-Spark paths do at full corpus scale (minhash.py:401-412) — and
+    the result is shipped back Arrow-batched. Above the threshold, the
+    checkpointed distributed label propagation runs. Both produce the
+    identical min-id labeling.
 
     Parameters
     ----------
@@ -52,6 +63,11 @@ def connected_components(
     (DataFrame[id: long, component: long], CCStats)
     """
     stats = CCStats()
+
+    if driver_threshold > 0:
+        sample = edges.limit(driver_threshold + 1).count()
+        if sample <= driver_threshold:
+            return _driver_cc(edges, src, dst, stats)
 
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -101,3 +117,34 @@ def connected_components(
             break
 
     return assign.select("id", F.col("comp").alias("component")), stats
+
+
+def _driver_cc(edges: DataFrame, src: str, dst: str, stats: CCStats):
+    """Single-pass union-find on the driver (small graphs)."""
+    import pandas as pd
+
+    stats.mode = "driver"
+    pdf = edges.select(src, dst).toPandas()
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pdf[src].to_numpy(), pdf[dst].to_numpy()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # union to the smaller root -> labels are component minima
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+
+    ids = sorted(set(pdf[src].tolist()) | set(pdf[dst].tolist()))
+    out = pd.DataFrame({"id": ids, "component": [find(i) for i in ids]})
+    spark = edges.sparkSession
+    return spark.createDataFrame(out, schema="id long, component long"), stats
