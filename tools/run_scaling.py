@@ -44,13 +44,24 @@ spark = get_spark(app_name=f"scale-{{cores}}", master=f"local[{{cores}}]",
 spark.sparkContext.setLogLevel("ERROR")
 df = with_doc_id(spark.read.parquet(corpus).repartition(64), id_column="doc_id")
 n = df.count()
+# cold run: includes one-time costs (python worker forks, JIT, AQE
+# statistics); warm run: the sustained per-shard cost a long job pays —
+# at 100TB a pipeline processes thousands of shards, so the warm number
+# is the capacity-planning one. Both reported.
 t0 = time.time()
 res = minhash_dedup(df, MinHashConfig(), collect_metrics=False)
 survivors = res.kept.count()
-wall = time.time() - t0
+cold = time.time() - t0
+res.kept.unpersist() if hasattr(res.kept, "unpersist") else None
+spark.catalog.clearCache()
+t1 = time.time()
+res2 = minhash_dedup(df, MinHashConfig(), collect_metrics=False)
+survivors2 = res2.kept.count()
+warm = time.time() - t1
+assert survivors2 == survivors
 print(json.dumps({{"cores": cores, "n_docs": n, "survivors": survivors,
-                  "seconds": round(wall, 2),
-                  "docs_per_sec": round(n / wall, 1)}}))
+                  "seconds": round(warm, 2), "cold_seconds": round(cold, 2),
+                  "docs_per_sec": round(n / warm, 1)}}))
 spark.stop()
 """
 
