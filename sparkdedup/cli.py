@@ -40,6 +40,7 @@ def build_parser() -> argparse.ArgumentParser:
     mh.add_argument("--num_perm", type=int, default=250)
     mh.add_argument("--b", type=int, default=None)
     mh.add_argument("--r", type=int, default=None)
+    mh.add_argument("--hash_bits", type=int, default=32, choices=[16, 32, 64])
 
     sh = sub.add_parser("simhash")
     common(sh)
@@ -91,6 +92,7 @@ def main(argv=None) -> int:
             threshold=args.threshold,
             b=args.b,
             r=args.r,
+            hash_bits=args.hash_bits,
         )
         m = minhash_job(
             spark, args.input, args.output, args.work_dir, cfg, args.index, args.metrics
