@@ -103,6 +103,9 @@ def word_shingle_hashes_batch(
     counts: List[int] = []  # -1 = None (too short)
     base = 0
     for text in texts:
+        if text is None:
+            counts.append(-1)  # null content == no signature (dropped)
+            continue
         if text.isascii():
             data = text.encode("ascii").translate(_WORD_TRANS)
             arr = np.frombuffer(data, dtype=np.uint8)
@@ -162,6 +165,9 @@ def char_shingle_hashes64_batch(
     counts: List[int] = []
     base = 0
     for text in texts:
+        if text is None:
+            counts.append(-1)
+            continue
         if text.isascii():
             ln = len(text)
             if ln < min_length:

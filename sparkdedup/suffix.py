@@ -116,6 +116,9 @@ def make_window_udf(cfg: SubstringConfig):
         tune_worker_memory()
         out = []
         for t in texts:
+            if t is None:
+                out.append([])
+                continue
             data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
             h1 = rolling_hashes(data, cfg.k, _B1, _B1_INV)
             if h1.size == 0:
