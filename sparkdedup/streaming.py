@@ -79,6 +79,78 @@ def streaming_signatures(
     )
 
 
+def streaming_band_collisions(
+    band_stream: DataFrame,
+    timeout_minutes: int = 0,
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState):
+    cross-micro-batch LSH collision detection.
+
+    State per 128-bit band key = the minimum doc id ever seen. Each
+    arriving (id, band, hash) row either (a) records a new key in state
+    and emits nothing, or (b) collides with state and emits the
+    candidate edge (src=id, dst=state min) — the streaming analogue of
+    ``minhash.band_edges``.
+
+    timeout_minutes > 0 bounds the state with a processing-time timeout
+    (for continuous triggers; the same recall trade-off as the
+    watermarked exact dedup). timeout_minutes == 0 keeps state forever
+    AND is required for ``availableNow`` drains: with processing-time
+    timeouts the engine keeps scheduling timeout-handling micro-batches
+    and an availableNow query never terminates.
+
+    Input: output of ``streaming_signatures`` (doc_id, band, hash).
+    Output: (src, dst) candidate edges for a downstream batch CC.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType([StructField("src", LongType()), StructField("dst", LongType())])
+    state_schema = StructType([StructField("min_id", LongType())])
+
+    keyed = band_stream.select(
+        F.xxhash64("band", "hash").alias("k1"),
+        F.xxhash64("hash", F.lit(0x9E3779B9), "band").alias("k2"),
+        F.col(band_stream.columns[0]).alias("id"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        ids = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["id"])
+        if not ids:
+            return
+        batch_min = min(ids)
+        if state.exists:
+            (cur_min,) = state.get
+        else:
+            cur_min = None
+        new_min = batch_min if cur_min is None else min(cur_min, batch_min)
+        state.update((new_min,))
+        if timeout_minutes > 0:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        edges = [(i, new_min) for i in ids if i != new_min]
+        if cur_min is not None and cur_min != new_min:
+            edges.append((cur_min, new_min))
+        if edges:
+            yield pd.DataFrame(edges, columns=["src", "dst"])
+
+    return keyed.groupBy("k1", "k2").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout if timeout_minutes > 0 else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
 def run_to_parquet(
     result: DataFrame, output_path: str, checkpoint_path: str
 ) -> None:

@@ -52,3 +52,30 @@ def test_streaming_signatures_stateless(spark, stream_dir, tmp_path):
     h1 = {(r["band"], bytes(r["hash"])) for r in df.filter("doc_id=1").collect()}
     h2 = {(r["band"], bytes(r["hash"])) for r in df.filter("doc_id=2").collect()}
     assert h1 == h2
+
+
+def test_streaming_band_collisions_stateful(spark, tmp_path):
+    """applyInPandasWithState: collisions detected ACROSS micro-batches."""
+    from sparkdedup.streaming import streaming_band_collisions
+
+    d = tmp_path / "sin"
+    d.mkdir()
+    text = "a sufficiently long duplicated document body with many tokens inside"
+    pd.DataFrame({"doc_id": [10], "text": [text]}).to_parquet(d / "b0.parquet", index=False)
+    pd.DataFrame({"doc_id": [3], "text": [text]}).to_parquet(d / "b1.parquet", index=False)
+    pd.DataFrame({"doc_id": [99], "text": ["a completely different unique document body"]}).to_parquet(
+        d / "b2.parquet", index=False
+    )
+
+    stream = read_document_stream(spark, str(d), max_files_per_trigger=1)
+    bands = streaming_signatures(stream, MinHashConfig(column="text"))
+    edges = streaming_band_collisions(bands)
+    out = str(tmp_path / "edges")
+    run_to_parquet(edges, out, str(tmp_path / "ckpt3"))
+    got = {(r["src"], r["dst"]) for r in spark.read.parquet(out).collect()}
+    # docs 10 and 3 are identical: the cross-batch collision must be
+    # found regardless of arrival order; doc 99 collides with nothing
+    assert got, "no edges emitted"
+    assert all(dst < src for src, dst in got)
+    nodes = {n for e in got for n in e}
+    assert nodes == {3, 10}
