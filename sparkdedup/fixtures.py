@@ -83,11 +83,25 @@ def _mutate(tokens: List[str], rate: float, rng: np.random.RandomState) -> List[
     return out
 
 
-def generate_code_files(n_rows: int = 2000, seed: int = 42) -> pd.DataFrame:
-    """Generate the deterministic corpus; ground-truth helper columns
-    are NOT included (tests derive truth via the oracle)."""
+def generate_code_files(
+    n_rows: int = 2000, seed: int = 42, with_truth: bool = False
+):
+    """Generate the deterministic corpus.
+
+    with_truth=True additionally returns a parallel pandas Series of
+    planted cluster ids (same index as doc_id; -1 = not planted as a
+    near/exact duplicate) for quality evaluation (FIXTURES.md T2/T3).
+    """
     rng = np.random.RandomState(seed)
     contents: List[str] = []
+    truth: List[int] = []
+    next_cluster = 0
+
+    def plant(n: int) -> int:
+        nonlocal next_cluster
+        truth.extend([next_cluster] * n)
+        next_cluster += 1
+        return next_cluster - 1
 
     n_mega = max(4, n_rows // 20)  # ~5% mega-cluster
     n_exact_groups = max(2, n_rows // 100)
@@ -98,13 +112,16 @@ def generate_code_files(n_rows: int = 2000, seed: int = 42) -> pd.DataFrame:
 
     # mega-cluster: near-identical large file, tiny mutations
     mega_base = _doc_tokens(rng, 400)
+    plant(n_mega)
     for _ in range(n_mega):
         contents.append(_render(_mutate(mega_base, 0.01, rng), rng))
 
     # exact duplicate groups
     for _ in range(n_exact_groups):
         base = _render(_doc_tokens(rng, int(rng.randint(40, 200))), rng)
-        for _ in range(int(rng.randint(2, 5))):
+        k = int(rng.randint(2, 5))
+        plant(k)
+        for _ in range(k):
             contents.append(base)
 
     # near-dup clusters at varied mutation rates
@@ -112,7 +129,9 @@ def generate_code_files(n_rows: int = 2000, seed: int = 42) -> pd.DataFrame:
     for ci in range(n_near_clusters):
         base_tokens = _doc_tokens(rng, int(rng.randint(60, 300)))
         rate = rates[ci % len(rates)]
-        for _ in range(int(rng.randint(2, 8))):
+        k = int(rng.randint(2, 8))
+        plant(k)
+        for _ in range(k):
             contents.append(_render(_mutate(base_tokens, rate, rng), rng))
 
     # shared-substring pairs: distinct bodies + identical license header
@@ -145,13 +164,17 @@ def generate_code_files(n_rows: int = 2000, seed: int = 42) -> pd.DataFrame:
         contents.append(_render(base, rng))
 
     # fill remainder with unique docs
+    truth.extend([-1] * max(0, n_rows - len(truth)))
     while len(contents) < n_rows:
         contents.append(_render(_doc_tokens(rng, int(rng.randint(30, 250))), rng))
     contents = contents[:n_rows]
+    truth.extend([-1] * (len(contents) - len(truth)))
+    truth = truth[: len(contents)]
 
     # deterministic shuffle so cluster members are scattered across ids
     order = rng.permutation(len(contents))
     contents = [contents[i] for i in order]
+    truth = [truth[i] for i in order]
 
     rows = []
     for i, content in enumerate(contents):
@@ -160,7 +183,10 @@ def generate_code_files(n_rows: int = 2000, seed: int = 42) -> pd.DataFrame:
         path = f"src/mod{i % 13}/file{i}.{_EXT[lang]}"
         commit = hashlib.sha1(f"{repo}:{path}".encode()).hexdigest()
         rows.append((i, repo, path, commit, lang, content))
-    return pd.DataFrame(rows, columns=["doc_id", "repo", "path", "commit", "lang", "content"])
+    df = pd.DataFrame(rows, columns=["doc_id", "repo", "path", "commit", "lang", "content"])
+    if with_truth:
+        return df, pd.Series(truth, name="cluster")
+    return df
 
 
 def write_code_files(path: str, n_rows: int = 2000, seed: int = 42) -> str:
