@@ -70,6 +70,17 @@ def main() -> None:
         "minhash_docs_per_sec": round(n_docs / per_query["minhash_dedup"], 1),
         "cpus": cpus,
     }
+    # headline sustained numbers from the 400k scaling matrix, if present
+    matrix_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_matrix.json")
+    if os.path.exists(matrix_path):
+        try:
+            matrix = json.load(open(matrix_path))
+            out["sustained_400k"] = {
+                k: v["best_docs_per_sec"] for k, v in matrix.get("results", {}).items()
+            }
+            out["scaling_efficiency_8_to_32"] = matrix.get("efficiency_8_to_32")
+        except Exception:
+            pass
     print(json.dumps(out))
     spark.stop()
 
