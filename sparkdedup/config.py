@@ -95,6 +95,14 @@ class SubstringConfig:
     k: int = 100
     strategy: str = "overlapping"  # {overlapping, longest}
     stride: int = 1
+    # PASS B size gate: dup fingerprints <= this (16 B/key -> ~320 MB at
+    # the default) are broadcast as a sorted array for a zero-shuffle
+    # membership splice; above it the shuffle-join + range-compression
+    # fallback runs.
+    max_broadcast_keys: int = 20_000_000
+    # windows processed per chunk inside the UDFs; bounds per-doc peak
+    # memory (~10 u64 arrays of this size) regardless of document size
+    chunk_bytes: int = 4 << 20
 
 
 @dataclass(frozen=True)

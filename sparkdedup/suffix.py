@@ -12,31 +12,53 @@ length >= k contains a duplicated k-byte window, and every duplicated
 k-byte window IS a duplicated substring of length k. Therefore the
 union of duplicated k-windows == the union of all duplicated substrings
 of length >= k — exactly what the reference removes under its
-"overlapping" merge. Pipeline:
+"overlapping" merge.
 
-  1. per doc, 128-bit rolling fingerprints (two independent
-     multiplicative Rabin-Karp hashes mod 2^64, odd bases => O(n)
-     vectorized via invertible prefix products) of every k-byte window
-     at stride s (s=1 exact; s>1 trades exactness for an s-fold shuffle
-     reduction and still guarantees detection of runs >= k+s-1);
-  2. groupBy fingerprint, count > 1 (duplicates INCLUDING repeats
-     within one document, matching corpus-level suffix-array behavior)
-     — map-side combine, skew-immune; join the (small) duplicated
-     fingerprint set back (AQE broadcasts it when small);
-  3. per doc, union-merge duplicated window offsets and splice the
-     bytes out in one Arrow-batched UDF; drop emptied docs.
+Scale-safe two-pass pipeline (no per-byte rows ever shuffled with doc
+ids, per-doc state bounded regardless of doc size):
+
+  PASS A (detect): ``mapInPandas`` streams each doc in fixed-size byte
+  chunks, computes 128-bit rolling fingerprints (two independent
+  multiplicative Rabin-Karp hashes mod 2^64, odd bases => O(n)
+  vectorized via invertible prefix products) of every k-byte window at
+  the configured stride, and emits per-chunk *unique* fingerprints with
+  counts — long format (h1, h2, cnt), never a giant nested array cell.
+  groupBy(h1, h2).sum(cnt) with map-side combine yields the duplicated
+  fingerprint set; shuffle volume is distinct-fingerprints-per-
+  partition, NOT one row per corpus byte.
+
+  PASS B (splice), size-gated on |dup_keys|:
+  - broadcast path (|dup| <= max_broadcast_keys): the duplicated
+    fingerprints are collected into a sorted 128-bit structured numpy
+    array (16 B/key) and broadcast; a single scalar pandas UDF
+    recomputes the rolling hashes chunk-by-chunk, tests membership via
+    ``np.searchsorted``, run-length-merges hit offsets into
+    (start, end) ranges on the fly, and splices — ZERO additional
+    shuffle, O(chunk) peak memory per doc.
+  - shuffle fallback (huge dup set): per-window (id, off) rows are
+    re-emitted, semi-joined to dup_keys, run-length-compressed into
+    (start, end) islands with a window function, and only the merged
+    ranges (bounded by doc_len/k disjoint runs, 1 for a fully-
+    duplicated doc) are collected per doc.
+
+stride=1 is exact; stride s>1 trades exactness for an s-fold volume
+reduction and still guarantees detection of runs >= k+s-1.
 
 Note on merge strategies: with fixed-length k-windows the reference's
 "longest" strategy (drop contained intervals) never drops anything
 (window stops strictly increase with starts) and clean_up removes the
 union of overlapping slices anyway — both strategies coincide here;
 the `strategy` config is accepted for API parity.
+
+The corpus is fingerprinted twice (once per pass) by design: at 100 TB
+recomputing a cheap O(n) hash beats materializing/shuffling a per-byte
+table with doc ids (~24 B/corpus-byte ≈ 2 PB of shuffle).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
@@ -58,6 +80,10 @@ from sparkdedup.io import DOC_ID
 
 _B1 = np.uint64(1000003)  # odd bases -> invertible mod 2^64
 _B2 = np.uint64(998244353)
+
+# 128-bit fingerprint as a little-endian structured pair; numpy sorts /
+# searches this lexicographically, which is all membership needs.
+_KEY_DTYPE = np.dtype([("h1", "<u8"), ("h2", "<u8")])
 
 
 def _inv_u64(b: np.uint64) -> np.uint64:
@@ -94,101 +120,271 @@ def rolling_hashes(data: np.ndarray, k: int, base: np.uint64, base_inv: np.uint6
         return (prefix[k:] - prefix[: n - k + 1]) * inv_pows
 
 
-_WIN_SCHEMA = ArrayType(
-    StructType(
-        [
-            StructField("h1", LongType()),
-            StructField("h2", LongType()),
-            StructField("off", IntegerType()),
-        ]
-    )
+def _chunk_span(cfg: SubstringConfig) -> int:
+    """Windows per chunk, rounded to a stride multiple so global strided
+    offsets stay aligned across chunk boundaries."""
+    span = max(cfg.chunk_bytes, cfg.k)
+    if cfg.stride > 1:
+        span = max(cfg.stride, span - span % cfg.stride)
+    return span
+
+
+def iter_window_chunks(
+    data: np.ndarray, cfg: SubstringConfig
+) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Yield (global_offsets, h1, h2) per fixed-size chunk of a doc's
+    k-byte windows at the configured stride. Peak memory is O(chunk),
+    independent of doc size."""
+    n = data.size
+    k = cfg.k
+    if n < k:
+        return
+    total = n - k + 1
+    span = _chunk_span(cfg)
+    for c0 in range(0, total, span):
+        length = min(span, total - c0)
+        seg = data[c0 : c0 + length + k - 1]
+        h1 = rolling_hashes(seg, k, _B1, _B1_INV)
+        h2 = rolling_hashes(seg, k, _B2, _B2_INV)
+        if cfg.stride > 1:
+            h1 = h1[:: cfg.stride]
+            h2 = h2[:: cfg.stride]
+            offs = c0 + np.arange(h1.size, dtype=np.int64) * cfg.stride
+        else:
+            offs = c0 + np.arange(h1.size, dtype=np.int64)
+        yield offs, h1, h2
+
+
+def _pack_keys(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Pack parallel u64 arrays into the 128-bit structured key dtype."""
+    out = np.empty(h1.size, dtype=_KEY_DTYPE)
+    out["h1"] = h1
+    out["h2"] = h2
+    return out
+
+
+_FP_SCHEMA = StructType(
+    [
+        StructField("h1", LongType()),
+        StructField("h2", LongType()),
+        StructField("cnt", LongType()),
+    ]
 )
 
+_EMIT_ROWS = 1 << 18  # flush accumulated fingerprint rows per ~256k
 
-def make_window_udf(cfg: SubstringConfig):
-    """UDF: content -> array<struct(h1,h2,off)> of k-byte window
-    fingerprints at the configured stride."""
 
-    @pandas_udf(_WIN_SCHEMA)
-    def windows(texts: pd.Series) -> pd.Series:
+def make_fingerprint_counts(cfg: SubstringConfig):
+    """mapInPandas fn: docs -> long-format (h1, h2, cnt) with per-chunk
+    unique+count pre-aggregation (intra-doc repeats carry their count so
+    corpus-level c>1 includes them, matching suffix-array behavior)."""
+    column = cfg.column
+
+    def fingerprint_counts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from sparkdedup.tuning import tune_worker_memory
 
         tune_worker_memory()
-        out = []
-        for t in texts:
-            if t is None:
-                out.append([])
-                continue
-            data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-            h1 = rolling_hashes(data, cfg.k, _B1, _B1_INV)
-            if h1.size == 0:
-                out.append([])
-                continue
-            h2 = rolling_hashes(data, cfg.k, _B2, _B2_INV)
-            offs = np.arange(h1.size, dtype=np.int64)
-            if cfg.stride > 1:
-                sel = slice(None, None, cfg.stride)
-                h1, h2, offs = h1[sel], h2[sel], offs[sel]
-            out.append(
-                list(zip(h1.view(np.int64).tolist(), h2.view(np.int64).tolist(), offs.tolist()))
-            )
-        return pd.Series(out)
+        acc_h1: List[np.ndarray] = []
+        acc_h2: List[np.ndarray] = []
+        acc_c: List[np.ndarray] = []
+        acc_n = 0
 
-    return windows
+        def flush() -> pd.DataFrame:
+            nonlocal acc_n
+            frame = pd.DataFrame(
+                {
+                    "h1": np.concatenate(acc_h1).view(np.int64),
+                    "h2": np.concatenate(acc_h2).view(np.int64),
+                    "cnt": np.concatenate(acc_c),
+                }
+            )
+            acc_h1.clear()
+            acc_h2.clear()
+            acc_c.clear()
+            acc_n = 0
+            return frame
+
+        for pdf in batches:
+            for t in pdf[column]:
+                if t is None:
+                    continue
+                data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                for _offs, h1, h2 in iter_window_chunks(data, cfg):
+                    keys = _pack_keys(h1, h2)
+                    uniq, counts = np.unique(keys, return_counts=True)
+                    acc_h1.append(uniq["h1"].copy())
+                    acc_h2.append(uniq["h2"].copy())
+                    acc_c.append(counts.astype(np.int64))
+                    acc_n += uniq.size
+                    if acc_n >= _EMIT_ROWS:
+                        yield flush()
+        if acc_n:
+            yield flush()
+
+    return fingerprint_counts
+
+
+def merge_offsets_to_ranges(offs: np.ndarray, k: int) -> List[Tuple[int, int]]:
+    """Run-length-merge sorted window offsets into disjoint (start, end)
+    byte ranges covering the union of [off, off+k)."""
+    if offs.size == 0:
+        return []
+    breaks = np.nonzero(np.diff(offs) > k)[0]
+    starts = offs[np.concatenate(([0], breaks + 1))]
+    ends = offs[np.concatenate((breaks, [offs.size - 1]))] + k
+    return list(zip(starts.tolist(), ends.tolist()))
+
+
+def splice_ranges(data: bytes, ranges: Sequence[Tuple[int, int]]) -> str:
+    """Remove sorted disjoint (start, end) byte ranges (reference
+    clean_up semantics, suffix_array.py:270-299; lossy utf-8 decode)."""
+    parts = []
+    pos = 0
+    for s, e in ranges:
+        parts.append(data[pos:s])
+        pos = e
+    parts.append(data[pos:])
+    return b"".join(parts).decode("utf-8", errors="ignore")
 
 
 def splice_out(text: str, offsets: List[int], k: int) -> str:
-    """Remove the union of [off, off+k) byte ranges (reference clean_up
-    semantics, suffix_array.py:270-299; lossy utf-8 decode)."""
-    data = bytearray(text.encode("utf-8"))
-    result = bytearray()
-    pos = 0
-    cur_start: Optional[int] = None
-    cur_end = -1
-    for off in sorted(offsets):
-        if cur_start is None:
-            cur_start, cur_end = off, off + k
-        elif off <= cur_end:
-            cur_end = max(cur_end, off + k)
+    """Remove the union of [off, off+k) byte ranges given raw window
+    offsets (kept for unit tests / external callers)."""
+    offs = np.asarray(sorted(offsets), dtype=np.int64)
+    return splice_ranges(text.encode("utf-8"), merge_offsets_to_ranges(offs, k))
+
+
+def _append_merged(ranges: List[Tuple[int, int]], fresh: List[Tuple[int, int]]) -> None:
+    """Append already-merged chunk-local ranges, coalescing across the
+    chunk boundary (offsets only ever increase)."""
+    for s, e in fresh:
+        if ranges and s <= ranges[-1][1]:
+            if e > ranges[-1][1]:
+                ranges[-1] = (ranges[-1][0], e)
         else:
-            result.extend(data[pos:cur_start])
-            pos = cur_end
-            cur_start, cur_end = off, off + k
-    if cur_start is not None:
-        result.extend(data[pos:cur_start])
-        pos = cur_end
-    result.extend(data[pos:])
-    return result.decode("utf-8", errors="ignore")
+            ranges.append((s, e))
 
 
-def make_splice_udf(cfg: SubstringConfig):
+def make_broadcast_splice_udf(cfg: SubstringConfig, bc_keys):
+    """Scalar UDF: content -> spliced content, testing each window's
+    fingerprint against the broadcast sorted dup-key array. Streams the
+    doc chunk-by-chunk; never materializes full-doc hash arrays."""
+
     @pandas_udf(StringType())
-    def splice(texts: pd.Series, offs: pd.Series) -> pd.Series:
+    def splice_broadcast(texts: pd.Series) -> pd.Series:
+        from sparkdedup.tuning import tune_worker_memory
+
+        tune_worker_memory()
+        keys = bc_keys.value
+        n_keys = keys.size
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(t)
+                continue
+            raw = t.encode("utf-8")
+            data = np.frombuffer(raw, dtype=np.uint8)
+            ranges: List[Tuple[int, int]] = []
+            if n_keys:
+                for offs, h1, h2 in iter_window_chunks(data, cfg):
+                    q = _pack_keys(h1, h2)
+                    pos = np.searchsorted(keys, q)
+                    pos_c = np.minimum(pos, n_keys - 1)
+                    hit = (pos < n_keys) & (keys[pos_c] == q)
+                    if hit.any():
+                        _append_merged(ranges, merge_offsets_to_ranges(offs[hit], cfg.k))
+            out.append(splice_ranges(raw, ranges) if ranges else t)
+        return pd.Series(out)
+
+    return splice_broadcast
+
+
+_RANGES_SCHEMA = ArrayType(
+    StructType([StructField("start", LongType()), StructField("end", LongType())])
+)
+
+
+def make_range_splice_udf(cfg: SubstringConfig):
+    """UDF for the shuffle fallback: (content, sorted ranges) -> spliced."""
+
+    @pandas_udf(StringType())
+    def splice(texts: pd.Series, ranges: pd.Series) -> pd.Series:
         from sparkdedup.tuning import tune_worker_memory
 
         tune_worker_memory()
         out = []
-        for t, o in zip(texts, offs):
-            if o is None or len(o) == 0:
+        for t, rs in zip(texts, ranges):
+            if rs is None or len(rs) == 0 or t is None:
                 out.append(t)
             else:
-                out.append(splice_out(t, list(o), cfg.k))
+                out.append(
+                    splice_ranges(t.encode("utf-8"), [(r["start"], r["end"]) for r in rs])
+                )
         return pd.Series(out)
 
     return splice
+
+
+_WIN_SCHEMA = StructType(
+    [
+        StructField("h1", LongType()),
+        StructField("h2", LongType()),
+        StructField("off", LongType()),
+    ]
+)
+
+
+def make_window_rows(cfg: SubstringConfig, id_col: str):
+    """mapInPandas fn for the shuffle fallback: docs -> (id, h1, h2, off)
+    rows, streamed chunk-by-chunk (bounded memory, no giant array cells)."""
+    column = cfg.column
+
+    def window_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparkdedup.tuning import tune_worker_memory
+
+        tune_worker_memory()
+        for pdf in batches:
+            for doc_id, t in zip(pdf[id_col], pdf[column]):
+                if t is None:
+                    continue
+                data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                for offs, h1, h2 in iter_window_chunks(data, cfg):
+                    yield pd.DataFrame(
+                        {
+                            id_col: np.full(offs.size, doc_id, dtype=np.int64),
+                            "h1": h1.view(np.int64),
+                            "h2": h2.view(np.int64),
+                            "off": offs,
+                        }
+                    )
+
+    return window_rows
 
 
 @dataclass
 class SubstringMetrics:
     rows_before: int = 0
     duplicated_windows: int = 0
+    dup_keys: int = 0
     rows_after: int = 0
+    path: str = ""  # "broadcast" | "shuffle"
 
 
 @dataclass
 class SubstringResult:
     kept: DataFrame
     metrics: SubstringMetrics
+
+
+def _detect_dup_keys(df: DataFrame, cfg: SubstringConfig) -> DataFrame:
+    """PASS A: duplicated 128-bit window fingerprints with their corpus
+    occurrence counts. Shuffle volume = distinct fingerprints/partition."""
+    fps = df.select(cfg.column).mapInPandas(make_fingerprint_counts(cfg), schema=_FP_SCHEMA)
+    return (
+        fps.groupBy("h1", "h2")
+        .agg(F.sum("cnt").alias("c"))
+        .filter(F.col("c") > 1)
+    )
 
 
 def substring_dedup(
@@ -207,31 +403,71 @@ def substring_dedup(
     if collect_metrics:
         metrics.rows_before = df.count()
 
-    win_udf = make_window_udf(cfg)
-    wins = (
-        df.select(F.col(id_col), F.explode(win_udf(F.col(cfg.column))).alias("w"))
-        .select(F.col(id_col), F.col("w.h1"), F.col("w.h2"), F.col("w.off"))
-    )
-    dup_keys = (
-        wins.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1).drop("c")
-    )
-    dup_wins = wins.join(dup_keys, on=["h1", "h2"])
-    per_doc = dup_wins.groupBy(id_col).agg(F.sort_array(F.collect_list("off")).alias("__offs__"))
-    if collect_metrics:
-        metrics.duplicated_windows = dup_wins.count()
+    dup_keys = _detect_dup_keys(df, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    stats = dup_keys.agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("c"), F.lit(0)).alias("w")
+    ).first()
+    n_dup, metrics.duplicated_windows = int(stats["n"]), int(stats["w"])
+    metrics.dup_keys = n_dup
 
-    splice_udf = make_splice_udf(cfg)
-    kept = (
-        df.join(per_doc, on=id_col, how="left")
-        .withColumn(
-            cfg.column,
-            F.when(F.col("__offs__").isNull(), F.col(cfg.column)).otherwise(
-                splice_udf(F.col(cfg.column), F.col("__offs__"))
+    if n_dup <= cfg.max_broadcast_keys:
+        metrics.path = "broadcast"
+        if n_dup:
+            pds = dup_keys.select("h1", "h2").toPandas()
+            keys = _pack_keys(
+                np.ascontiguousarray(pds["h1"].to_numpy()).view(np.uint64),
+                np.ascontiguousarray(pds["h2"].to_numpy()).view(np.uint64),
+            )
+            keys.sort()
+        else:
+            keys = np.empty(0, dtype=_KEY_DTYPE)
+        dup_keys.unpersist()  # collected to driver; drop the cache now
+        bc = df.sparkSession.sparkContext.broadcast(keys)
+        splice_udf = make_broadcast_splice_udf(cfg, bc)
+        kept = (
+            df.withColumn(cfg.column, splice_udf(F.col(cfg.column)))
+            if n_dup
+            else df
+        )
+    else:
+        # dup_keys stays persisted: it is in `kept`'s lineage (semi-join).
+        metrics.path = "shuffle"
+        wins = df.select(id_col, cfg.column).mapInPandas(
+            make_window_rows(cfg, id_col),
+            schema=StructType(
+                [StructField(id_col, LongType())] + list(_WIN_SCHEMA.fields)
             ),
         )
-        .drop("__offs__")
-        .filter(F.length(F.col(cfg.column)) > 0)
-    )
+        dup_wins = wins.join(dup_keys.select("h1", "h2"), on=["h1", "h2"], how="leftsemi")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(id_col).orderBy("off")
+        with_island = dup_wins.withColumn(
+            "__new__",
+            F.when(
+                F.col("off") - F.lag("off").over(w) > F.lit(cfg.k), F.lit(1)
+            ).otherwise(F.lit(0)),
+        ).withColumn("__island__", F.sum("__new__").over(w))
+        ranges = with_island.groupBy(id_col, "__island__").agg(
+            F.min("off").alias("start"), (F.max("off") + F.lit(cfg.k)).alias("end")
+        )
+        per_doc = ranges.groupBy(id_col).agg(
+            F.sort_array(F.collect_list(F.struct("start", "end"))).alias("__ranges__")
+        )
+        splice_udf = make_range_splice_udf(cfg)
+        kept = (
+            df.join(per_doc, on=id_col, how="left")
+            .withColumn(
+                cfg.column,
+                F.when(F.col("__ranges__").isNull(), F.col(cfg.column)).otherwise(
+                    splice_udf(F.col(cfg.column), F.col("__ranges__"))
+                ),
+            )
+            .drop("__ranges__")
+        )
+    kept = kept.filter(F.length(F.col(cfg.column)) > 0)
     if collect_metrics:
         metrics.rows_after = kept.count()
+        if metrics.path == "shuffle":
+            dup_keys.unpersist()
     return SubstringResult(kept, metrics)

@@ -84,6 +84,92 @@ def test_substring_e2e_matches_bruteforce(spark):
         assert LICENSE_HEADER not in t
 
 
+def test_substring_shuffle_fallback_matches_broadcast(spark):
+    """Forcing the shuffle path (max_broadcast_keys=0) must give byte-
+    identical output to the broadcast-membership path."""
+    corpus = generate_code_files(150, seed=7)
+    df = spark.createDataFrame(corpus).withColumn("__id__", F.col("doc_id"))
+    k = 80
+    res_b = substring_dedup(df, SubstringConfig(column="content", k=k))
+    res_s = substring_dedup(
+        df, SubstringConfig(column="content", k=k, max_broadcast_keys=0)
+    )
+    assert res_b.metrics.path == "broadcast"
+    assert res_s.metrics.path == "shuffle"
+    got_b = {r["doc_id"]: r["content"] for r in res_b.kept.select("doc_id", "content").collect()}
+    got_s = {r["doc_id"]: r["content"] for r in res_s.kept.select("doc_id", "content").collect()}
+    assert got_b == got_s
+    assert res_b.metrics.duplicated_windows == res_s.metrics.duplicated_windows
+
+
+def test_substring_chunked_matches_unchunked(spark):
+    """Tiny chunk_bytes (forcing many chunk boundaries inside every doc)
+    must not change the result — windows straddling boundaries are
+    covered by the k-1 overlap."""
+    corpus = generate_code_files(80, seed=3)
+    texts = corpus["content"].tolist()
+    k = 60
+    expect = {
+        int(d): t
+        for d, t in zip(corpus["doc_id"], brute_force_substring_dedup(texts, k))
+        if len(t) > 0
+    }
+    df = spark.createDataFrame(corpus).withColumn("__id__", F.col("doc_id"))
+    res = substring_dedup(df, SubstringConfig(column="content", k=k, chunk_bytes=97))
+    got = {r["doc_id"]: r["content"] for r in res.kept.select("doc_id", "content").collect()}
+    assert got == expect
+
+
+def test_substring_adversarial_fully_duplicated_large_doc(spark):
+    """One ~4 MB fully-duplicated doc: per-doc state must stay bounded
+    (ranges, not per-byte offsets) and the doc must vanish entirely."""
+    import pandas as pd
+
+    big = ("def f(x):\n    return x * 31337\n" * 140000)[: 4 << 20]
+    data = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "content": [big, big, "completely unrelated tiny unique document body"],
+        }
+    )
+    df = spark.createDataFrame(data).withColumn("__id__", F.col("doc_id"))
+    cfg = SubstringConfig(column="content", k=100, chunk_bytes=1 << 20)
+    res = substring_dedup(df, cfg)
+    got = {r["doc_id"]: r["content"] for r in res.kept.collect()}
+    # both copies of the big doc are fully self-similar -> dropped
+    assert set(got) == {2}
+    assert got[2] == data["content"][2]
+    # the shuffle fallback must also produce merged ranges, not blow up
+    res_s = substring_dedup(
+        df, SubstringConfig(column="content", k=100, chunk_bytes=1 << 20, max_broadcast_keys=0)
+    )
+    got_s = {r["doc_id"]: r["content"] for r in res_s.kept.collect()}
+    assert got_s == got
+
+
+def test_substring_stride_detects_long_runs(spark):
+    """stride>1: duplicated runs of length >= k+stride-1 are still fully
+    detected at their window granularity."""
+    import pandas as pd
+
+    shared = "S" * 500  # run length 500 >> k+stride-1
+    data = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "content": ["alpha0beta1" + shared + "gamma2delta", "ZERO9eight8" + shared + "SEVEN7six66"],
+        }
+    )
+    df = spark.createDataFrame(data).withColumn("__id__", F.col("doc_id"))
+    res = substring_dedup(df, SubstringConfig(column="content", k=100, stride=7))
+    got = {r["doc_id"]: r["content"] for r in res.kept.collect()}
+    for t in got.values():
+        # edge leftovers < k+stride-1 bytes can survive, but the bulk of
+        # the duplicated run must be gone and unique flanks intact
+        assert "S" * 120 not in t
+    assert "alpha0beta1" in got[0] and "gamma2delta" in got[0]
+    assert "ZERO9eight8" in got[1] and "SEVEN7six66" in got[1]
+
+
 def test_substring_no_dups_is_identity(spark):
     import pandas as pd
 
