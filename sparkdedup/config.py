@@ -53,11 +53,16 @@ class SimHashConfig:
 
     column: str = "content"
     ngram: int = 3
-    f: int = 64  # fingerprint bits; reference supports {64,128}, we ship 64
+    f: int = 64  # fingerprint bits {64, 128}, matching the reference's --f
     bit_diff: int = 3
     num_bucket: int = 4
     min_length: int = 5  # ngrams() default min_length used by simhash too
     seed: int = SEED
+    # buckets larger than this are split exactly via pigeonhole
+    # sub-ranges of the non-mask bits (simhash.refine_key_columns) —
+    # bounds the within-bucket quadratic self-join with zero recall
+    # loss. None disables the size probe.
+    max_bucket_size: Optional[int] = 4096
 
 
 @dataclass(frozen=True)

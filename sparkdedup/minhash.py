@@ -124,12 +124,32 @@ def compute_band_signatures(
         chunk_hashes.clear()
         budget = 0
 
+    def oversized_minima(hashes: np.ndarray) -> np.ndarray:
+        # a single huge doc (minified/generated source) must NOT
+        # materialize an (n_shingles, num_perm) matrix: permute in
+        # fixed slices and fold partial minima, so peak memory is
+        # O(_PERMUTE_CHUNK * num_perm) regardless of doc size.
+        mins = np.full(cfg.num_perm, max_hash, dtype=dtype)
+        for s in range(0, hashes.size, _PERMUTE_CHUNK):
+            h = hashes[s : s + _PERMUTE_CHUNK].astype(dtype, copy=False)
+            with np.errstate(over="ignore"):
+                ph = h[:, None] * a_coef[None, :]
+                ph += b_coef[None, :]
+                ph %= prime
+                ph &= max_hash
+            np.minimum(mins, ph.min(axis=0), out=mins)
+        return mins
+
     for i, hashes in enumerate(per_doc):
         if hashes is None:
             continue
         if hashes.size == 0:
             # len(tokens) >= min_length guarantees >= 1 shingle, but be safe
             out[i] = [np.full(r, max_hash, dtype=dtype).tobytes()] * b
+            continue
+        if hashes.size >= _PERMUTE_CHUNK:
+            sig = oversized_minima(hashes)
+            out[i] = [sig[band * r : (band + 1) * r].tobytes() for band in range(b)]
             continue
         chunk_idx.append(i)
         chunk_counts.append(hashes.size)

@@ -155,10 +155,11 @@ def word_shingle_hashes_batch(
     return out
 
 
-def char_shingle_hashes64_batch(
-    texts: Sequence[str], n: int, min_length: int = 5, seed: int = 0
-) -> List[Optional[np.ndarray]]:
-    """Per-doc arrays of DISTINCT 64-bit char-shingle hashes (SimHash)."""
+def _char_spans_batch(
+    texts: Sequence[str], n: int, min_length: int
+) -> Tuple[Optional[np.ndarray], Optional[np.ndarray], Optional[np.ndarray], List[int]]:
+    """Collect char-shingle byte spans for a batch: (flat, offs, lens,
+    counts) with counts[i] = -1 for too-short/null docs."""
     bufs: List[bytes] = []
     all_offs: List[np.ndarray] = []
     all_lens: List[np.ndarray] = []
@@ -203,12 +204,20 @@ def char_shingle_hashes64_batch(
 
     if all_offs:
         flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
-        hashes = xxh64_spans(
-            flat, np.concatenate(all_offs), np.concatenate(all_lens), seed=seed
-        )
-    else:
-        hashes = np.empty(0, dtype=np.uint64)
+        return flat, np.concatenate(all_offs), np.concatenate(all_lens), counts
+    return None, None, None, counts
 
+
+def char_shingle_hashes64_batch(
+    texts: Sequence[str], n: int, min_length: int = 5, seed: int = 0
+) -> List[Optional[np.ndarray]]:
+    """Per-doc arrays of DISTINCT 64-bit char-shingle hashes (SimHash)."""
+    flat, offs, lens, counts = _char_spans_batch(texts, n, min_length)
+    hashes = (
+        xxh64_spans(flat, offs, lens, seed=seed)
+        if flat is not None
+        else np.empty(0, dtype=np.uint64)
+    )
     out: List[Optional[np.ndarray]] = []
     pos = 0
     for c in counts:
@@ -217,5 +226,38 @@ def char_shingle_hashes64_batch(
         else:
             # distinct-hash semantics == the reference's shingle set
             out.append(np.unique(hashes[pos : pos + c]))
+            pos += c
+    return out
+
+
+def char_shingle_hashes128_batch(
+    texts: Sequence[str], n: int, min_length: int = 5, seeds: Tuple[int, int] = (0, 0x9E3779B9)
+) -> List[Optional[np.ndarray]]:
+    """Per-doc (S, 2) uint64 arrays of DISTINCT 128-bit char-shingle
+    hashes (two independently-seeded xxh64 halves, hi then lo) for
+    SimHash f=128. Distinctness is on the 128-bit pair, mirroring the
+    reference's shingle-set semantics with its xxh3_128 digest
+    (/root/reference/text_dedup/simhash.py:243-270)."""
+    flat, offs, lens, counts = _char_spans_batch(texts, n, min_length)
+    if flat is not None:
+        hi = xxh64_spans(flat, offs, lens, seed=seeds[0])
+        lo = xxh64_spans(flat, offs, lens, seed=seeds[1])
+    else:
+        hi = lo = np.empty(0, dtype=np.uint64)
+    pair_dtype = np.dtype([("hi", "<u8"), ("lo", "<u8")])
+    out: List[Optional[np.ndarray]] = []
+    pos = 0
+    for c in counts:
+        if c < 0:
+            out.append(None)
+        else:
+            pairs = np.empty(c, dtype=pair_dtype)
+            pairs["hi"] = hi[pos : pos + c]
+            pairs["lo"] = lo[pos : pos + c]
+            uniq = np.unique(pairs)
+            arr = np.empty((uniq.size, 2), dtype=np.uint64)
+            arr[:, 0] = uniq["hi"]
+            arr[:, 1] = uniq["lo"]
+            out.append(arr)
             pos += c
     return out

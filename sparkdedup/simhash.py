@@ -1,37 +1,47 @@
 """SimHash near-duplicate detection.
 
 Reference semantics (/root/reference/text_dedup/simhash.py): char
-n-gram shingles → per-shingle 64-bit hash → bit-majority fingerprint
-(`compute`, simhash.py:273-301) → block-permutation bucket keys
-(Permutation/_create_permutations, simhash.py:69-240: f bits split into
-`num_bucket` blocks; one permutation per choice of (b-k) leading
-blocks; bucket key = (search_mask, permuted_fp & mask)) → within-bucket
-pairs with Hamming distance <= bit_diff are unioned (simhash.py:408-434).
+n-gram shingles → per-shingle f-bit hash (f in {64,128},
+simhash.py:243-270 via xxh3_64/xxh3_128; ours: pinned vendored xxh64,
+two independent seeds concatenated for f=128) → bit-majority
+fingerprint (`compute`, simhash.py:273-301) → block-permutation bucket
+keys (Permutation/_create_permutations, simhash.py:69-240: f bits split
+into `num_bucket` blocks; one permutation per ORDERED choice of (b-k)
+leading blocks; bucket key = (search_mask, permuted_fp & mask)) →
+within-bucket pairs with Hamming distance <= bit_diff are unioned
+(simhash.py:408-434).
 
 Spark-first design:
-  * fingerprints: ONE pandas UDF — all shingles of the Arrow batch are
-    hashed in a single vectorized xxh64 call, bit counts via
-    np.add.reduceat over the concatenated (S, 64) bit matrix. (The
-    reference's xxh3 is unavailable here; the hash only needs to be
-    consistent — simhash.py:249 — and both test oracle and pipeline
-    share the pinned vendored xxh64.)
-  * bucket keys: JVM-side bit arithmetic (shiftrightunsigned/&/|) from
-    driver-precomputed block layouts — no second UDF pass. A key is
-    (mask_width, leading-blocks value), exactly the reference's
-    (search_mask, masked permuted fp) since the mask is determined by
-    its width.
-  * mega-cluster skew: identical fingerprints are collapsed to one
-    representative BEFORE the bucket self-join (star edges cover the
-    rest), so the quadratic within-bucket pair check runs on distinct
-    fingerprints only.
-  * Hamming verify: built-in ``bit_count(a ^ b) <= k`` (codegen).
+  * fingerprints: ONE pandas UDF — shingles are hashed in vectorized
+    xxh64 calls, bit counts via np.add.reduceat over a concatenated
+    (S, f) bit matrix. Oversized docs (and oversized batches) are
+    folded in fixed _BIT_CHUNK slices with accumulated partial bit
+    counts, so peak memory is bounded regardless of document size.
+  * bucket keys: JVM-side bit extraction from driver-precomputed block
+    layouts, one xxhash64 long per ordered permutation over
+    (pidx, leading block values). Including the permutation index
+    matches the reference's key identity (its search_mask pins the
+    block set); hash collisions only ADD candidates, which the exact
+    Hamming verify below removes.
+  * mega-cluster skew, two layers:
+    (1) identical fingerprints are collapsed to one representative
+        BEFORE the bucket self-join (star edges cover the rest);
+    (2) buckets larger than `max_bucket_size` are split EXACTLY via
+        pigeonhole refinement: all <= bit_diff differing bits of an
+        in-bucket pair lie in the f-mask remaining bits, so carving
+        that region into (bit_diff+1) sub-ranges guarantees the pair
+        agrees on at least one — sub-bucketing by each sub-range
+        (bit_diff+1 probes per fingerprint) loses NO pairs while
+        cutting a uniform n-bucket's pair count by ~2^(W/(k+1))/(k+1).
+  * Hamming verify: built-in ``bit_count(a ^ b) <= k`` (codegen);
+    f=128 fingerprints are struct<hi,lo> longs, verified per half.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
 from itertools import permutations as iter_permutations
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
@@ -39,15 +49,19 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, StructField, StructType
 
 from sparkdedup.cc import connected_components
 from sparkdedup.config import SimHashConfig
 from sparkdedup.io import DOC_ID
-from sparkdedup.shingle import char_shingle_hashes64_batch
+from sparkdedup.shingle import char_shingle_hashes64_batch, char_shingle_hashes128_batch
 
 FP = "__fp__"
 COMPONENT = "__component__"
+
+# shingles per bit-matrix slice: (S, f) uint8 at f=128 is 8 KB/shingle
+# row-group; 64k shingles ≈ 8 MB peak — L3-resident per worker.
+_BIT_CHUNK = 1 << 16
 
 
 # --- block/permutation layout (driver-side, plain ints) ------------------
@@ -76,75 +90,221 @@ def block_layout(f: int, b: int) -> List[Tuple[int, int]]:
     return blocks
 
 
-def permutation_keys(f: int, k: int, b: int) -> List[Tuple[int, List[Tuple[int, int]]]]:
-    """One entry per permutation: (mask_width, [(width, start_bit), ...]
-    of its leading b-k blocks in order)."""
+def permutation_layouts(
+    f: int, k: int, b: int
+) -> List[Tuple[List[Tuple[int, int]], List[Tuple[int, int]]]]:
+    """Per ordered permutation: (leading b-k blocks, remaining blocks),
+    each as [(width, start_bit), ...]."""
     blocks = block_layout(f, b)
     out = []
     for leading in iter_permutations(range(len(blocks)), b - k):
         chosen = [blocks[i] for i in leading]
-        out.append((sum(w for w, _ in chosen), chosen))
+        remaining = [blocks[i] for i in range(len(blocks)) if i not in leading]
+        out.append((chosen, remaining))
     return out
 
 
-def bucket_key_columns(fp_col: Column, f: int, k: int, b: int) -> List[Column]:
-    """For each permutation, a struct(mask_width, key) column computed
-    with JVM bit ops. Bit i of the fingerprint = bit (f-1-i) of the
-    stored long (MSB-first, matching the bitarray convention)."""
-    cols = []
-    for mask_width, chosen in permutation_keys(f, k, b):
-        key = F.lit(0).cast("long")
-        consumed = 0
-        for width, start in chosen:
-            consumed += width
-            # block value = bits [start, start+width) counted MSB-first
-            block_val = F.shiftrightunsigned(fp_col, f - start - width).bitwiseAND(
-                F.lit((1 << width) - 1).cast("long")
-            )
-            key = key.bitwiseOR(F.shiftleft(block_val, mask_width - consumed))
-        cols.append(F.struct(F.lit(mask_width).alias("mask"), key.alias("key")))
-    return cols
+def permutation_keys(f: int, k: int, b: int) -> List[Tuple[int, List[Tuple[int, int]]]]:
+    """One entry per permutation: (mask_width, [(width, start_bit), ...]
+    of its leading b-k blocks in order). Kept for tests/API parity."""
+    return [
+        (sum(w for w, _ in chosen), chosen) for chosen, _ in permutation_layouts(f, k, b)
+    ]
 
 
-# --- fingerprint UDF -----------------------------------------------------
+def _extract_bits(fp_cols: Sequence[Column], f: int, start: int, width: int) -> Column:
+    """Bits [start, start+width) of the f-bit fingerprint, MSB-first
+    (bit 0 = MSB of the first long), as a long. fp_cols is [fp] for
+    f=64 or [hi, lo] for f=128."""
+    if f == 64:
+        c = fp_cols[0]
+        sh = 64 - start - width
+        v = F.shiftrightunsigned(c, sh) if sh else c
+        if width >= 64:
+            return v
+        return v.bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+    hi, lo = fp_cols
+    if start + width <= 64:
+        return _extract_bits([hi], 64, start, width)
+    if start >= 64:
+        return _extract_bits([lo], 64, start - 64, width)
+    lo_bits = start + width - 64  # taken from lo's top
+    hi_bits = 64 - start  # taken from hi's bottom
+    hi_part = hi.bitwiseAND(F.lit((1 << hi_bits) - 1).cast("long"))
+    return F.shiftleft(hi_part, lo_bits).bitwiseOR(
+        F.shiftrightunsigned(lo, 64 - lo_bits)
+    )
+
+
+def bucket_key_columns(fp_cols: Sequence[Column], f: int, k: int, b: int) -> List[Column]:
+    """One hashed long bucket key per ordered permutation. Key identity
+    = (permutation index, leading block values) — the reference's
+    (search_mask, permuted fp) pair. xxhash64 collisions only add
+    candidates; the Hamming verify removes them."""
+    keys = []
+    for pidx, (chosen, _rem) in enumerate(permutation_layouts(f, k, b)):
+        vals = [_extract_bits(fp_cols, f, s, w) for (w, s) in chosen]
+        keys.append(F.xxhash64(F.lit(pidx), *vals))
+    return keys
+
+
+def refine_key_columns(
+    fp_cols: Sequence[Column], f: int, k: int, b: int
+) -> List[List[Column]]:
+    """Per permutation: k+1 hashed sub-keys carved from its REMAINING
+    bits. Exactness (pigeonhole): a pair sharing the bucket agrees on
+    all mask bits, so its <= k differing bits all lie in the remaining
+    W = f - mask_width bits; k+1 disjoint sub-ranges => at least one
+    sub-range has zero differences => the pair shares that sub-key."""
+    out = []
+    for _pidx, (_chosen, remaining) in enumerate(permutation_layouts(f, k, b)):
+        total = sum(w for w, _ in remaining)
+        parts = k + 1
+        bounds = [round(total * i / parts) for i in range(parts + 1)]
+        subcols = []
+        for si in range(parts):
+            lo_b, hi_b = bounds[si], bounds[si + 1]
+            pieces = []
+            pos = 0
+            for w, s in remaining:
+                ov_lo, ov_hi = max(lo_b, pos), min(hi_b, pos + w)
+                if ov_lo < ov_hi:
+                    pieces.append(_extract_bits(fp_cols, f, s + (ov_lo - pos), ov_hi - ov_lo))
+                pos += w
+            subcols.append(F.xxhash64(F.lit(si), *pieces))
+        out.append(subcols)
+    return out
+
+
+# --- fingerprint computation ----------------------------------------------
+
+
+def _bits_matrix(arr: np.ndarray, f: int) -> np.ndarray:
+    """(S, f) uint8 bit matrix, MSB-first, from (S,) u64 (f=64) or
+    (S, 2) u64 hi/lo (f=128)."""
+    return np.unpackbits(
+        np.ascontiguousarray(arr).byteswap().view(np.uint8).reshape(-1, f // 8), axis=1
+    )
+
+
+def _pack_words(maj: np.ndarray) -> Tuple[int, ...]:
+    """f MSB-first majority bits -> f//64 signed 64-bit words."""
+    by = np.packbits(maj)
+    words = []
+    for i in range(0, by.size, 8):
+        v = int.from_bytes(by[i : i + 8].tobytes(), "big")
+        words.append(v - (1 << 64) if v >= 1 << 63 else v)
+    return tuple(words)
+
+
+def _fingerprint_words(
+    texts: List[str], cfg: SimHashConfig
+) -> List[Optional[Tuple[int, ...]]]:
+    """Bit-majority fingerprints as f//64 signed long words per doc
+    (None = too short). Majority rule matches the reference: bit set
+    iff sum(2*bit - 1) > 0 over shingles (ties -> 0, simhash.py:297-298).
+
+    Memory-bounded: docs are folded into <= _BIT_CHUNK-shingle groups
+    (vectorized reduceat fast path); a single oversized doc is sliced
+    with accumulated partial bit counts instead of materializing its
+    full (S, f) matrix."""
+    f = cfg.f
+    if f == 64:
+        per_doc = char_shingle_hashes64_batch(texts, cfg.ngram, cfg.min_length)
+    elif f == 128:
+        per_doc = char_shingle_hashes128_batch(texts, cfg.ngram, cfg.min_length)
+    else:
+        raise ValueError(f"simhash f must be 64 or 128, got {f}")
+    out: List[Optional[Tuple[int, ...]]] = [None] * len(texts)
+
+    g_idx: List[int] = []
+    g_arr: List[np.ndarray] = []
+    g_cnt: List[int] = []
+    budget = 0
+
+    def flush() -> None:
+        nonlocal budget
+        if not g_idx:
+            return
+        allh = np.concatenate(g_arr)
+        bits = _bits_matrix(allh, f)
+        counts = np.asarray(g_cnt)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+        maj = (2 * ones - counts[:, None]) > 0
+        for row, doc_i in enumerate(g_idx):
+            out[doc_i] = _pack_words(maj[row])
+        g_idx.clear()
+        g_arr.clear()
+        g_cnt.clear()
+        budget = 0
+
+    for i, h in enumerate(per_doc):
+        if h is None:
+            continue
+        n = h.shape[0]
+        if n == 0:
+            out[i] = _pack_words(np.zeros(f, dtype=bool))
+            continue
+        if n >= _BIT_CHUNK:
+            ones = np.zeros(f, dtype=np.int64)
+            for s in range(0, n, _BIT_CHUNK):
+                ones += _bits_matrix(h[s : s + _BIT_CHUNK], f).sum(axis=0, dtype=np.int64)
+            out[i] = _pack_words((2 * ones - n) > 0)
+            continue
+        g_idx.append(i)
+        g_arr.append(h)
+        g_cnt.append(n)
+        budget += n
+        if budget >= _BIT_CHUNK:
+            flush()
+    flush()
+    return out
 
 
 def compute_fingerprints(texts: List[str], cfg: SimHashConfig) -> List[Optional[int]]:
-    """Bit-majority SimHash fingerprints for a batch (None = too short).
+    """f=64 fingerprints as signed longs (golden-test-pinned API)."""
+    assert cfg.f == 64
+    return [w if w is None else w[0] for w in _fingerprint_words(texts, cfg)]
 
-    Majority rule matches the reference: bit set iff
-    sum(2*bit - 1) > 0 over shingles (ties -> 0, simhash.py:297-298).
-    """
-    per_doc = char_shingle_hashes64_batch(texts, cfg.ngram, cfg.min_length)
-    idx = [i for i, h in enumerate(per_doc) if h is not None]
-    out: List[Optional[int]] = [None] * len(texts)
-    if not idx:
-        return out
-    counts = np.array([per_doc[i].size for i in idx])
-    allh = np.concatenate([per_doc[i] for i in idx])
-    # MSB-first (f-1 .. 0) bit matrix via byteswap+unpackbits — ~7x
-    # faster than per-bit shifts; add.reduceat sums per doc.
-    bits = np.unpackbits(allh.byteswap().view(np.uint8).reshape(-1, cfg.f // 8), axis=1)
-    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)  # (docs, f)
-    maj = (2 * ones - counts[:, None]) > 0
-    shifts = np.arange(cfg.f - 1, -1, -1, dtype=np.uint64)
-    weights = (np.uint64(1) << shifts).astype(np.uint64)
-    fps = (maj.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64).view(np.int64)
-    for row, doc_i in enumerate(idx):
-        out[doc_i] = int(fps[row])
-    return out
+
+def compute_fingerprints128(
+    texts: List[str], cfg: SimHashConfig
+) -> List[Optional[Tuple[int, int]]]:
+    """f=128 fingerprints as (hi, lo) signed-long pairs."""
+    assert cfg.f == 128
+    return _fingerprint_words(texts, cfg)
+
+
+_FP128_SCHEMA = StructType([StructField("hi", LongType()), StructField("lo", LongType())])
 
 
 def make_fingerprint_udf(cfg: SimHashConfig):
-    @pandas_udf(LongType())
-    def fingerprint(texts: pd.Series) -> pd.Series:
+    if cfg.f == 64:
+
+        @pandas_udf(LongType())
+        def fingerprint(texts: pd.Series) -> pd.Series:
+            from sparkdedup.tuning import tune_worker_memory
+
+            tune_worker_memory()
+            return pd.Series(compute_fingerprints(texts.tolist(), cfg), dtype="object")
+
+        return fingerprint
+
+    @pandas_udf(_FP128_SCHEMA)
+    def fingerprint128(texts: pd.Series) -> pd.DataFrame:
         from sparkdedup.tuning import tune_worker_memory
 
         tune_worker_memory()
-        return pd.Series(compute_fingerprints(texts.tolist(), cfg), dtype="object")
+        words = compute_fingerprints128(texts.tolist(), cfg)
+        return pd.DataFrame(
+            {
+                "hi": pd.Series([None if w is None else w[0] for w in words], dtype="object"),
+                "lo": pd.Series([None if w is None else w[1] for w in words], dtype="object"),
+            }
+        )
 
-    return fingerprint
+    return fingerprint128
 
 
 # --- pipeline ------------------------------------------------------------
@@ -167,10 +327,31 @@ class SimHashResult:
     metrics: SimHashMetrics
 
 
+def _fp_cols(cfg: SimHashConfig) -> List[Column]:
+    if cfg.f == 64:
+        return [F.col(FP)]
+    return [F.col(FP)["hi"], F.col(FP)["lo"]]
+
+
+def _fp_not_null(cfg: SimHashConfig) -> Column:
+    if cfg.f == 64:
+        return F.col(FP).isNotNull()
+    return F.col(FP)["hi"].isNotNull()
+
+
+def _hamming(cfg: SimHashConfig, a: str, b: str) -> Column:
+    if cfg.f == 64:
+        return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
+    return F.bit_count(F.col(a)["hi"].bitwiseXOR(F.col(b)["hi"])) + F.bit_count(
+        F.col(a)["lo"].bitwiseXOR(F.col(b)["lo"])
+    )
+
+
 def simhash_edges(fps: DataFrame, cfg: SimHashConfig, id_col: str = DOC_ID) -> DataFrame:
     """Edges between docs with bucket-key collision AND Hamming <= k.
 
-    fps: DataFrame[id_col, __fp__ (long, non-null)].
+    fps: DataFrame[id_col, __fp__] with __fp__ long (f=64) or
+    struct<hi,lo> (f=128), non-null.
     """
     # 1) collapse identical fingerprints: star edges to the min id
     reps = fps.groupBy(FP).agg(F.min(id_col).alias("rep"), F.count(F.lit(1)).alias("cnt"))
@@ -182,20 +363,48 @@ def simhash_edges(fps: DataFrame, cfg: SimHashConfig, id_col: str = DOC_ID) -> D
 
     # 2) bucket join over DISTINCT fingerprints only
     distinct = reps.select("rep", FP)
-    keys = bucket_key_columns(F.col(FP), cfg.f, cfg.bit_diff, cfg.num_bucket)
+    cols = _fp_cols(cfg)
+    keys = bucket_key_columns(cols, cfg.f, cfg.bit_diff, cfg.num_bucket)
     bucketed = distinct.select(
-        "rep", FP, F.explode(F.array(*keys)).alias("bk")
-    ).select("rep", FP, F.col("bk.mask").alias("mask"), F.col("bk.key").alias("key"))
-    a = bucketed.alias("a")
-    b = (
-        bucketed.withColumnRenamed("rep", "rep_b").withColumnRenamed(FP, "__fp_b__").alias("b")
+        "rep", FP, F.posexplode(F.array(*keys)).alias("pidx", "key")
     )
+
+    def pair_candidates(side: DataFrame) -> DataFrame:
+        a = side.alias("a")
+        b = (
+            side.withColumnRenamed("rep", "rep_b")
+            .withColumnRenamed(FP, "__fp_b__")
+            .alias("b")
+        )
+        return a.join(b, on=[c for c in side.columns if c not in ("rep", FP)]).filter(
+            F.col("rep") < F.col("rep_b")
+        )
+
+    if cfg.max_bucket_size is None:
+        cands = pair_candidates(bucketed.drop("pidx").select("rep", FP, "key"))
+    else:
+        # split oversized buckets exactly (pigeonhole sub-ranges of the
+        # remaining bits — no recall loss, see refine_key_columns)
+        sizes = bucketed.groupBy("key").agg(F.count(F.lit(1)).alias("__bsz__"))
+        sized = bucketed.join(sizes, on="key")
+        small = sized.filter(F.col("__bsz__") <= cfg.max_bucket_size).select(
+            "rep", FP, "key"
+        )
+        big = sized.filter(F.col("__bsz__") > cfg.max_bucket_size)
+        sub_lists = refine_key_columns(cols, cfg.f, cfg.bit_diff, cfg.num_bucket)
+        sub_matrix = F.array(*[F.array(*subs) for subs in sub_lists])
+        big_sub = big.select(
+            "rep",
+            FP,
+            "key",
+            F.explode(F.element_at(sub_matrix, F.col("pidx") + 1)).alias("skey"),
+        )
+        cands = pair_candidates(small).unionByName(pair_candidates(big_sub).drop("skey"))
+
     pair_edges = (
-        a.join(b, on=["mask", "key"])
-        .filter(F.col("rep") < F.col("rep_b"))
-        .select("rep", "rep_b", FP, "__fp_b__")
+        cands.select("rep", "rep_b", FP, "__fp_b__")
         .dropDuplicates(["rep", "rep_b"])
-        .filter(F.bit_count(F.col(FP).bitwiseXOR(F.col("__fp_b__"))) <= cfg.bit_diff)
+        .filter(_hamming(cfg, FP, "__fp_b__") <= cfg.bit_diff)
         .select(F.col("rep_b").alias("src"), F.col("rep").alias("dst"))
     )
     return zero_edges.unionByName(pair_edges).dropDuplicates(["src", "dst"])
@@ -217,7 +426,7 @@ def simhash_dedup(
     fp_udf = make_fingerprint_udf(cfg)
     df = ensure_parallelism(df)
     with_fp = df.withColumn(FP, fp_udf(F.col(cfg.column))).persist(storage_level)
-    fps = with_fp.filter(F.col(FP).isNotNull()).select(F.col(id_col), FP)
+    fps = with_fp.filter(_fp_not_null(cfg)).select(F.col(id_col), FP)
     if collect_metrics:
         metrics.rows_before = df.count()
         metrics.rows_with_fp = fps.count()
@@ -231,7 +440,9 @@ def simhash_dedup(
 
     if no_edges:
         metrics.rows_after = metrics.rows_before
-        return SimHashResult(with_fp.drop(FP), edges.select(F.col("src").alias("id"), F.col("dst").alias("component")), metrics)
+        empty_assign = edges.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+        edges.unpersist()
+        return SimHashResult(with_fp.drop(FP), empty_assign, metrics)
 
     assignment, cc_stats = connected_components(edges)
     metrics.cc_iterations = cc_stats.iterations

@@ -163,7 +163,13 @@ def _simhash_fp(text: str, ngram: int, min_length: int, f: int = 64) -> Optional
         shingles = {text[i : i + ngram].lower().encode("utf-8") for i in range(len(text) - ngram + 1)}
     from sparkdedup.hashing import xxh64_batch
 
-    hashes = [int(h) for h in xxh64_batch(sorted(shingles))]
+    if f == 64:
+        hashes = [int(h) for h in xxh64_batch(sorted(shingles))]
+    else:  # f=128: two independently-seeded xxh64 halves, hi||lo
+        ordered = sorted(shingles)
+        his = xxh64_batch(ordered, seed=0)
+        los = xxh64_batch(ordered, seed=0x9E3779B9)
+        hashes = [(int(h) << 64) | int(lo) for h, lo in zip(his, los)]
     n = len(hashes)
     fp = 0
     for bit in range(f):  # bit 0 = MSB
@@ -188,13 +194,15 @@ def _ref_block_layout(f: int, b: int):
 
 
 def simhash_bucket_keys(fp: int, f: int, k: int, b: int):
-    """Reference Permutation semantics: key = (prefix_width, leading
-    (b-k) blocks of the permuted fingerprint), via plain int ops."""
+    """Reference Permutation semantics: key = (permutation identity,
+    leading (b-k) blocks of the permuted fingerprint), via plain int
+    ops. The permutation index stands in for the reference's
+    search_mask (which pins the chosen block set)."""
     from itertools import permutations as iperm
 
     blocks = _ref_block_layout(f, b)
     keys = set()
-    for leading in iperm(range(len(blocks)), b - k):
+    for pidx, leading in enumerate(iperm(range(len(blocks)), b - k)):
         chosen = [blocks[i] for i in leading]
         width = sum(w for w, _ in chosen)
         val, consumed = 0, 0
@@ -202,7 +210,7 @@ def simhash_bucket_keys(fp: int, f: int, k: int, b: int):
             consumed += w
             block_val = (fp >> (f - start - w)) & ((1 << w) - 1)
             val |= block_val << (width - consumed)
-        keys.add((width, val))
+        keys.add((pidx, val))
     return keys
 
 

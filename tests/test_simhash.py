@@ -45,19 +45,109 @@ def test_fingerprint_basics():
     assert fps[3] is None  # below min_length chars
 
 
-def test_spark_bucket_keys_match_oracle(spark):
-    """JVM bit arithmetic == reference Permutation int semantics."""
+def _collision_graph(key_sets):
+    """Pairs (i, j) sharing at least one bucket key."""
+    return {
+        (i, j)
+        for i in range(len(key_sets))
+        for j in range(i + 1, len(key_sets))
+        if key_sets[i] & key_sets[j]
+    }
+
+
+@pytest.mark.parametrize("f,k,b", [(64, 3, 4), (64, 2, 4), (128, 3, 4), (128, 3, 3)])
+def test_spark_bucket_collisions_match_oracle(spark, f, k, b):
+    """JVM bit extraction partitions fingerprints into the same buckets
+    as the reference Permutation int semantics (keys are xxhash64ed
+    Spark-side, so we compare the collision graph, not raw values)."""
     from sparkdedup.simhash import bucket_key_columns
 
-    fps = [0, -1, 74633958390507528, 13352372148217134600 - (1 << 64), 123456789]
-    df = spark.createDataFrame([(v,) for v in fps], "fp long")
-    cols = bucket_key_columns(F.col("fp"), 64, 3, 4)
-    rows = df.select(F.col("fp"), F.array(*cols).alias("keys")).collect()
-    for row in rows:
-        fp_unsigned = row["fp"] & ((1 << 64) - 1)
-        want = simhash_bucket_keys(fp_unsigned, 64, 3, 4)
-        got = {(k["mask"], k["key"]) for k in row["keys"]}
-        assert got == want, f"fp={fp_unsigned}"
+    import random
+
+    rng = random.Random(99)
+    base = rng.getrandbits(f)
+    fps = [base]
+    for _ in range(20):  # near neighbors: flip a few bits
+        x = base
+        for _ in range(rng.randint(1, 6)):
+            x ^= 1 << rng.randrange(f)
+        fps.append(x)
+    fps += [rng.getrandbits(f) for _ in range(20)]
+
+    def signed(v):
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    if f == 64:
+        df = spark.createDataFrame([(signed(v),) for v in fps], "fp long")
+        cols = bucket_key_columns([F.col("fp")], f, k, b)
+    else:
+        df = spark.createDataFrame(
+            [(signed(v >> 64), signed(v & ((1 << 64) - 1))) for v in fps], "hi long, lo long"
+        )
+        cols = bucket_key_columns([F.col("hi"), F.col("lo")], f, k, b)
+    rows = df.select(F.array(*cols).alias("keys")).collect()
+    spark_sets = [set(r["keys"]) for r in rows]
+    oracle_sets = [simhash_bucket_keys(v, f, k, b) for v in fps]
+    assert _collision_graph(spark_sets) == _collision_graph(oracle_sets)
+
+
+def test_refine_subkeys_exact_pigeonhole(spark):
+    """Bucket splitting loses no pairs: simhash_edges with an absurdly
+    small max_bucket_size must produce the identical edge set as the
+    unsplit quadratic path, on fingerprints crafted to share buckets."""
+    import random
+
+    from sparkdedup.config import SimHashConfig
+    from sparkdedup.simhash import FP, simhash_edges
+
+    rng = random.Random(5)
+    fps = []
+    base = rng.getrandbits(64)
+    # one mega-bucket: share the top 16-bit block (pidx 0 leading block),
+    # vary the rest; plus sprinkled near-duplicates
+    for i in range(120):
+        x = (base & ~((1 << 48) - 1)) | rng.getrandbits(48)
+        fps.append(x)
+        if i % 7 == 0:
+            fps.append(x ^ (1 << rng.randrange(48)))  # Hamming-1 partner
+
+    def signed(v):
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    rows = [(i, signed(v)) for i, v in enumerate(fps)]
+    df = spark.createDataFrame(rows, f"__id__ long, {FP} long")
+    cfg_split = SimHashConfig(max_bucket_size=8)
+    cfg_flat = SimHashConfig(max_bucket_size=None)
+    e_split = {(r["src"], r["dst"]) for r in simhash_edges(df, cfg_split).collect()}
+    e_flat = {(r["src"], r["dst"]) for r in simhash_edges(df, cfg_flat).collect()}
+    assert len(e_flat) > 10, "fixture must generate edges"
+    assert e_split == e_flat
+
+
+@pytest.mark.parametrize("n_rows", [600])
+def test_simhash128_matches_oracle(spark, n_rows):
+    corpus = generate_code_files(n_rows, seed=42)
+    cfg = SimHashConfig(column="content", f=128)
+    oracle_assign, oracle_kept = simhash_clusters(
+        corpus["content"].tolist(),
+        corpus["doc_id"].tolist(),
+        ngram=cfg.ngram,
+        min_length=cfg.min_length,
+        f=128,
+        bit_diff=cfg.bit_diff,
+        num_bucket=cfg.num_bucket,
+    )
+    df = spark.createDataFrame(corpus).withColumn("__id__", F.col("doc_id"))
+    res = simhash_dedup(df, cfg)
+    ours = {row["id"]: row["component"] for row in res.assignment.collect()}
+    ours_full = {i: ours.get(i, i) for i in oracle_kept}
+    op = cluster_pairs(oracle_assign)
+    sp = cluster_pairs(ours_full)
+    assert len(op) >= 10, "fixture must produce simhash-128 duplicate pairs"
+    recall = len(op & sp) / len(op)
+    precision = len(op & sp) / max(len(sp), 1)
+    assert recall >= 0.99, f"recall {recall}"
+    assert precision >= 0.99, f"precision {precision}"
 
 
 @pytest.mark.parametrize("n_rows", [600])
