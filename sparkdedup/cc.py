@@ -64,15 +64,32 @@ def connected_components(
     """
     stats = CCStats()
 
-    if driver_threshold > 0:
-        sample = edges.limit(driver_threshold + 1).count()
-        if sample <= driver_threshold:
-            return _driver_cc(edges, src, dst, stats)
+    # the sizing probe + the follow-up pass would otherwise recompute an
+    # unpersisted edge lineage twice; persist here unless the caller
+    # already did
+    lvl = edges.storageLevel
+    we_persisted = False
+    if not (lvl.useMemory or lvl.useDisk):
+        from pyspark import StorageLevel
 
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
-    sym = sym.localCheckpoint(eager=True)
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        we_persisted = True
+
+    try:
+        if driver_threshold > 0:
+            sample = edges.limit(driver_threshold + 1).count()
+            if sample <= driver_threshold:
+                return _driver_cc(edges, src, dst, stats)
+
+        sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        sym = sym.localCheckpoint(eager=True)
+    finally:
+        if we_persisted:
+            # sym is localCheckpointed (driver path: already collected),
+            # so the input cache is no longer needed either way
+            edges.unpersist()
 
     # label(x) = min(x, min neighbor) — LSH star edges already point at
     # group minima, so this seed is typically 1 hop from the fixpoint.

@@ -37,14 +37,29 @@ def _looks_like_path(source: str) -> bool:
 def with_doc_id(df: DataFrame, id_column: Optional[str] = None) -> DataFrame:
     """Attach the stable long id column ``__id__``.
 
-    With an explicit key column we pass it through; otherwise
-    ``monotonically_increasing_id`` (partition-prefixed, non-contiguous —
-    exactly the reference Spark variant, minhash_spark.py:426). Caller
-    must persist/checkpoint before reuse: mii is not stable across
-    recomputation (SURVEY.md §7.4).
+    With an explicit INTEGER key column we pass it through; a STRING key
+    (the production (repo, path, commit) world) is derived as
+    xxhash64(key) — stable across runs, collision odds ~n^2/2^65
+    (≈3e-8 of rows falsely merged at 10^12 docs, each costing one
+    spuriously dropped doc). Other key types fail fast instead of
+    silently casting to NULL and corrupting min-id joins. Without a key
+    column, ``monotonically_increasing_id`` (partition-prefixed,
+    non-contiguous — exactly the reference Spark variant,
+    minhash_spark.py:426); caller must persist/checkpoint before reuse:
+    mii is not stable across recomputation (SURVEY.md §7.4).
     """
     if id_column:
-        return df.withColumn(DOC_ID, F.col(id_column).cast("long"))
+        from pyspark.sql import types as T
+
+        dt = df.schema[id_column].dataType
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return df.withColumn(DOC_ID, F.col(id_column).cast("long"))
+        if isinstance(dt, (T.StringType, T.BinaryType)):
+            return df.withColumn(DOC_ID, F.xxhash64(F.col(id_column)))
+        raise TypeError(
+            f"id column {id_column!r} has non-key type {dt.simpleString()}; "
+            "use an integer or string key"
+        )
     return df.withColumn(DOC_ID, F.monotonically_increasing_id())
 
 
@@ -57,6 +72,13 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
+    try:
+        # file scans: enough input files => enough splits, no RDD
+        # conversion needed (inputFiles() is plan-metadata only)
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

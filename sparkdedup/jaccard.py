@@ -13,7 +13,8 @@ approximation) for exact precision on what remains.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
+from typing import List
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -53,6 +54,14 @@ class JaccardResult:
     kept: DataFrame
     assignment: DataFrame
     verified_edges: int
+    cached: List[DataFrame] = field(default_factory=list)
+
+    def release(self) -> None:
+        """Unpersist pipeline-cached DataFrames. Call once the outputs
+        are written/consumed; materializing them afterwards recomputes."""
+        for df in self.cached:
+            df.unpersist()
+        self.cached.clear()
 
 
 def jaccard_dedup(
@@ -90,8 +99,9 @@ def jaccard_dedup(
     n_edges = verified.count() if collect_metrics else (0 if verified.isEmpty() else -1)
 
     if n_edges == 0:
-        empty = verified.select(col("src").alias("id"), col("dst").alias("component"))
-        return JaccardResult(kept_docs.drop(SIG), empty, 0)
+        empty = df.sparkSession.createDataFrame([], "id long, component long")
+        verified.unpersist()
+        return JaccardResult(kept_docs.drop(SIG), empty, 0, cached=[with_sig])
 
     assignment, _ = connected_components(verified)
     kept = (
@@ -104,4 +114,4 @@ def jaccard_dedup(
         .drop("__component__", SIG)
     )
     verified.unpersist()
-    return JaccardResult(kept, assignment, n_edges)
+    return JaccardResult(kept, assignment, n_edges, cached=[with_sig])

@@ -224,6 +224,14 @@ class MinHashResult:
     kept: DataFrame  # surviving rows (original schema + __id__)
     assignment: DataFrame  # (id, component) for every edge-touched doc
     metrics: MinHashMetrics
+    cached: List[DataFrame] = field(default_factory=list)
+
+    def release(self) -> None:
+        """Unpersist pipeline-cached DataFrames. Call once the outputs
+        are written/consumed; materializing them afterwards recomputes."""
+        for df in self.cached:
+            df.unpersist()
+        self.cached.clear()
 
 
 def minhash_dedup(
@@ -271,14 +279,14 @@ def minhash_dedup(
 
     t2 = time.time()
     if no_edges:
-        # early exit mirrors minhash_spark.py:472-483
-        empty_assign = edges.select(
-            F.col("src").alias("id"), F.col("dst").alias("component")
-        )
+        # early exit mirrors minhash_spark.py:472-483; the empty
+        # assignment is built lineage-free so edges can be unpersisted
+        empty_assign = df.sparkSession.createDataFrame([], "id long, component long")
+        edges.unpersist()
         result = kept_docs.drop(SIG)
         metrics.rows_after = metrics.rows_kept_len_filter
         metrics.stage_seconds["cc"] = time.time() - t2
-        return MinHashResult(result, empty_assign, metrics)
+        return MinHashResult(result, empty_assign, metrics, cached=[with_sig])
 
     assignment, cc_stats = connected_components(edges)
     metrics.cc_iterations = cc_stats.iterations
@@ -298,4 +306,4 @@ def minhash_dedup(
         metrics.rows_after = kept.count()
     metrics.stage_seconds["filter"] = time.time() - t3
     edges.unpersist()
-    return MinHashResult(kept, assignment, metrics)
+    return MinHashResult(kept, assignment, metrics, cached=[with_sig])

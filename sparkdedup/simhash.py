@@ -325,6 +325,14 @@ class SimHashResult:
     kept: DataFrame
     assignment: DataFrame
     metrics: SimHashMetrics
+    cached: List[DataFrame] = field(default_factory=list)
+
+    def release(self) -> None:
+        """Unpersist pipeline-cached DataFrames. Call once the outputs
+        are written/consumed; materializing them afterwards recomputes."""
+        for df in self.cached:
+            df.unpersist()
+        self.cached.clear()
 
 
 def _fp_cols(cfg: SimHashConfig) -> List[Column]:
@@ -440,9 +448,9 @@ def simhash_dedup(
 
     if no_edges:
         metrics.rows_after = metrics.rows_before
-        empty_assign = edges.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+        empty_assign = df.sparkSession.createDataFrame([], "id long, component long")
         edges.unpersist()
-        return SimHashResult(with_fp.drop(FP), empty_assign, metrics)
+        return SimHashResult(with_fp.drop(FP), empty_assign, metrics, cached=[with_fp])
 
     assignment, cc_stats = connected_components(edges)
     metrics.cc_iterations = cc_stats.iterations
@@ -459,4 +467,4 @@ def simhash_dedup(
     if collect_metrics:
         metrics.rows_after = kept.count()
     edges.unpersist()
-    return SimHashResult(kept, assignment, metrics)
+    return SimHashResult(kept, assignment, metrics, cached=[with_fp])

@@ -82,6 +82,7 @@ def streaming_signatures(
 def streaming_band_collisions(
     band_stream: DataFrame,
     timeout_minutes: int = 0,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Custom STATEFUL streaming operator (applyInPandasWithState):
     cross-micro-batch LSH collision detection.
@@ -113,10 +114,12 @@ def streaming_band_collisions(
     out_schema = StructType([StructField("src", LongType()), StructField("dst", LongType())])
     state_schema = StructType([StructField("min_id", LongType())])
 
+    # select the id BY NAME — a caller reordering (band, hash, id)
+    # must not silently hash the band as the doc id
     keyed = band_stream.select(
         F.xxhash64("band", "hash").alias("k1"),
         F.xxhash64("hash", F.lit(0x9E3779B9), "band").alias("k2"),
-        F.col(band_stream.columns[0]).alias("id"),
+        F.col(id_col).alias("id"),
     )
 
     def update(key, pdfs, state: GroupState):

@@ -374,6 +374,14 @@ class SubstringMetrics:
 class SubstringResult:
     kept: DataFrame
     metrics: SubstringMetrics
+    cached: List[DataFrame] = None  # type: ignore[assignment]
+
+    def release(self) -> None:
+        """Unpersist pipeline-cached DataFrames. Call once the outputs
+        are written/consumed; materializing them afterwards recomputes."""
+        for df in self.cached or []:
+            df.unpersist()
+        self.cached = []
 
 
 def _detect_dup_keys(df: DataFrame, cfg: SubstringConfig) -> DataFrame:
@@ -466,8 +474,9 @@ def substring_dedup(
             .drop("__ranges__")
         )
     kept = kept.filter(F.length(F.col(cfg.column)) > 0)
+    cached = [df]
     if collect_metrics:
         metrics.rows_after = kept.count()
-        if metrics.path == "shuffle":
-            dup_keys.unpersist()
-    return SubstringResult(kept, metrics)
+    if metrics.path == "shuffle":
+        cached.append(dup_keys)
+    return SubstringResult(kept, metrics, cached=cached)

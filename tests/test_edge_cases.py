@@ -59,3 +59,39 @@ def test_minhash_single_row(spark):
     ).withColumn("__id__", F.col("doc_id"))
     res = minhash_dedup(df, MinHashConfig())
     assert [r["doc_id"] for r in res.kept.collect()] == [7]
+
+
+def test_with_doc_id_string_key_derives_stable_hash(spark):
+    from sparkdedup.io import DOC_ID, with_doc_id
+
+    df = spark.createDataFrame(
+        [("r1/a.py", "x"), ("r2/b.py", "y")], "path string, content string"
+    )
+    out1 = {r["path"]: r[DOC_ID] for r in with_doc_id(df, "path").collect()}
+    out2 = {r["path"]: r[DOC_ID] for r in with_doc_id(df, "path").collect()}
+    assert out1 == out2  # stable across builds
+    assert all(v is not None for v in out1.values())
+    assert len(set(out1.values())) == 2
+
+
+def test_with_doc_id_rejects_non_key_types(spark):
+    import pytest as _pytest
+
+    from sparkdedup.io import with_doc_id
+
+    df = spark.createDataFrame([(1.5, "x")], "score double, content string")
+    with _pytest.raises(TypeError, match="non-key type"):
+        with_doc_id(df, "score")
+
+
+def test_release_unpersists_pipeline_caches(spark):
+    from sparkdedup.fixtures import generate_code_files
+
+    corpus = generate_code_files(200, seed=11)
+    df = spark.createDataFrame(corpus).withColumn("__id__", F.col("doc_id"))
+    res = minhash_dedup(df, MinHashConfig())
+    assert res.cached and any(
+        c.storageLevel.useMemory or c.storageLevel.useDisk for c in res.cached
+    )
+    res.release()
+    assert res.cached == []
