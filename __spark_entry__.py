@@ -223,6 +223,32 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(embs, queries, ANNConfig(top_k=5), n_centroids=8, n_probe=4)
 
 
+def q_ann_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # adaptive-k ANN dedup (reference ann_unisim mode), exact variant for
+    # oracle parity (threshold pairs -> CC -> min-id representative)
+    from sparkdedup.ann import ann_dedup
+    from sparkdedup.config import ANNConfig
+
+    embs = _embs(spark, sf_dir)
+    res = ann_dedup(embs, _EMB_DIM, ANNConfig(threshold=0.35), exact=True, collect_metrics=False)
+    return res.kept.select("vec_id")
+
+
+def q_ann_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the scale path: k-doubling saturation loop over the IVF index;
+    # approximate recall (n_probe < n_centroids) -> rows-only check,
+    # exactness vs brute force is pinned in tests/test_ann.py
+    from sparkdedup.ann import ann_dedup
+    from sparkdedup.config import ANNConfig
+
+    embs = _embs(spark, sf_dir)
+    res = ann_dedup(
+        embs, _EMB_DIM, ANNConfig(threshold=0.35), exact=False,
+        n_centroids=8, n_probe=4, collect_metrics=False,
+    )
+    return res.kept.select("vec_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: MinHash-LSH dedup of sf0.001 documents."""
     return q_minhash_dedup(spark, "/root/testdata/sf0.001")
@@ -245,6 +271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asset_features": q_asset_features,
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_dedup": q_ann_dedup,
+        "ann_dedup_ivf": q_ann_dedup_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     }
@@ -389,6 +417,23 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        """,
+        "ann_dedup": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS src, b.vec_id AS dst
+                FROM embeddings a JOIN embeddings b ON a.vec_id > b.vec_id
+                WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+            ),
+            und AS (SELECT src, dst FROM pairs UNION SELECT dst AS src, src AS dst FROM pairs),
+            reach AS (
+                SELECT src AS a, dst AS b FROM und
+                UNION
+                SELECT r.a, u.dst AS b FROM reach r JOIN und u ON r.b = u.src WHERE u.dst != r.a
+            ),
+            comp AS (SELECT a AS vec_id, min(b) AS mn FROM reach GROUP BY a)
+            SELECT e.vec_id
+            FROM embeddings e LEFT JOIN comp ON e.vec_id = comp.vec_id
+            WHERE comp.vec_id IS NULL OR comp.mn > e.vec_id
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),

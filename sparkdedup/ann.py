@@ -15,7 +15,8 @@ embedding column (array<float>):
 
 from __future__ import annotations
 
-from typing import Optional
+from dataclasses import dataclass, field
+from typing import List, Optional
 
 import numpy as np
 import pandas as pd
@@ -116,6 +117,88 @@ def lsh_buckets(vectors: DataFrame, dim: int, cfg: ANNConfig = ANNConfig()) -> D
     )
 
 
+@dataclass
+class IVFIndex:
+    """Built-once inverted-file index: the corpus shuffled/partitioned
+    by its (tiny-cardinality) KMeans cell id + the centroid table."""
+
+    assigned: DataFrame  # (neighbor_id, nv, cell), persisted
+    centroids: List[List[float]]
+    cfg: ANNConfig
+
+    def release(self) -> None:
+        self.assigned.unpersist()
+
+
+def build_ivf_index(
+    vectors: DataFrame, cfg: ANNConfig = ANNConfig(), n_centroids: int = 16
+) -> IVFIndex:
+    """Fit KMeans cells once; reusable across searches (the adaptive-k
+    dedup loop re-queries the same index with growing k)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    idc, vc = cfg.id_column, cfg.vector_column
+    v = vectors.select(
+        F.col(idc).alias("neighbor_id"), unit_vector(F.col(vc).cast("array<double>")).alias("nv")
+    )
+    ml = v.withColumn("features", array_to_vector(F.col("nv")))
+    model = KMeans(k=n_centroids, seed=cfg.seed, featuresCol="features").fit(ml)
+    assigned = (
+        model.transform(ml)
+        .select("neighbor_id", "nv", F.col("prediction").alias("cell"))
+        .persist()
+    )
+    centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]
+    return IVFIndex(assigned, centroids, cfg)
+
+
+def ivf_search(
+    index: IVFIndex,
+    queries: DataFrame,
+    k: int,
+    n_probe: int = 4,
+) -> DataFrame:
+    """(query_id, neighbor_id, sim: raw double, rank) — top-k per query
+    over the ``n_probe`` nearest cells. Queries is (query_id, qv) with
+    qv already unit-normalized."""
+    from pyspark.sql import Window
+
+    cent_df = F.array(*[
+        F.struct(F.lit(i).alias("cell"), F.array(*[F.lit(float(x)) for x in c]).alias("cv"))
+        for i, c in enumerate(index.centroids)
+    ])
+    probed = (
+        queries.withColumn("cents", cent_df)
+        .select("query_id", "qv", F.explode("cents").alias("c"))
+        .withColumn("cdot", dot(F.col("qv"), F.col("c.cv")))
+        .withColumn(
+            "crank",
+            F.row_number().over(Window.partitionBy("query_id").orderBy(F.desc("cdot"))),
+        )
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "qv", F.col("c.cell").alias("cell"))
+    )
+    scored = (
+        index.assigned.join(F.broadcast(probed), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", dot(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def _unit_queries(queries: DataFrame, cfg: ANNConfig) -> DataFrame:
+    return queries.select(
+        F.col(cfg.id_column).alias("query_id"),
+        unit_vector(F.col(cfg.vector_column).cast("array<double>")).alias("qv"),
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -131,51 +214,9 @@ def ivf_topk(
     cells — no cross join. Deterministic (fixed KMeans seed); recall
     rises with n_probe (n_probe == n_centroids is exact).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-    from pyspark.sql import Window
-
-    idc, vc = cfg.id_column, cfg.vector_column
-    v = vectors.select(
-        F.col(idc).alias("neighbor_id"), unit_vector(F.col(vc).cast("array<double>")).alias("nv")
-    ).persist()
-    ml = v.withColumn("features", array_to_vector(F.col("nv")))
-    model = KMeans(k=n_centroids, seed=cfg.seed, featuresCol="features").fit(ml)
-    assigned = model.transform(ml).select("neighbor_id", "nv", F.col("prediction").alias("cell"))
-
-    centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]
-    cent_df = F.array(*[
-        F.struct(F.lit(i).alias("cell"), F.array(*[F.lit(float(x)) for x in c]).alias("cv"))
-        for i, c in enumerate(centroids)
-    ])
-    q = queries.select(
-        F.col(idc).alias("query_id"), unit_vector(F.col(vc).cast("array<double>")).alias("qv")
-    ).withColumn("cents", cent_df)
-    # rank centroids per query by dot product, keep n_probe cells
-    probed = (
-        q.select(
-            "query_id",
-            "qv",
-            F.explode("cents").alias("c"),
-        )
-        .withColumn("cdot", dot(F.col("qv"), F.col("c.cv")))
-        .withColumn(
-            "crank",
-            F.row_number().over(Window.partitionBy("query_id").orderBy(F.desc("cdot"))),
-        )
-        .filter(F.col("crank") <= n_probe)
-        .select("query_id", "qv", F.col("c.cell").alias("cell"))
-    )
-    scored = (
-        assigned.join(F.broadcast(probed), on="cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", dot(F.col("qv"), F.col("nv")))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    out = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= cfg.top_k)
-        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+    index = build_ivf_index(vectors, cfg, n_centroids)
+    out = ivf_search(index, _unit_queries(queries, cfg), cfg.top_k, n_probe).select(
+        "query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank"
     )
     return out
 
@@ -222,3 +263,129 @@ def near_dup_pairs(
         .filter(F.col("sim") >= cfg.threshold)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
     )
+
+
+# --- ANN dedup (adaptive-k, ann_unisim semantics) --------------------------
+
+
+@dataclass
+class ANNDedupMetrics:
+    rows_before: int = 0
+    rounds: int = 0
+    k_final: int = 0
+    match_edges: int = 0
+    cc_iterations: int = 0
+    rows_after: int = 0
+
+
+@dataclass
+class ANNDedupResult:
+    kept: DataFrame
+    assignment: DataFrame
+    metrics: ANNDedupMetrics
+
+
+def ann_dedup(
+    vectors: DataFrame,
+    dim: int,
+    cfg: ANNConfig = ANNConfig(),
+    exact: bool = False,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k0: int = 20,
+    collect_metrics: bool = True,
+) -> ANNDedupResult:
+    """Embedding near-dup DEDUP: all >= threshold matches -> connected
+    components -> keep the min-id representative per cluster.
+
+    Mirrors the reference's ann_unisim mode
+    (/root/reference/text_dedup/ann_unisim.py:127-175): every doc
+    queries the index with adaptive k — start at ``k0``; while a doc's
+    top-k result is SATURATED (all k returned matches >= threshold,
+    so more may exist beyond the horizon) it is requeried with k
+    doubled; accepted matches are unioned and the cluster minimum
+    (the reference's index == cluster filter) survives.
+
+    exact=True replaces the search with the all-pairs threshold join
+    (oracle parity, O(N^2) — size-gate it). The scale path queries the
+    IVF index built ONCE; each round touches only still-saturated docs,
+    so the k-doubling loop converges in O(log max_cluster) rounds.
+    """
+    from sparkdedup.cc import connected_components
+
+    idc = cfg.id_column
+    metrics = ANNDedupMetrics()
+    if collect_metrics:
+        metrics.rows_before = vectors.count()
+
+    if exact:
+        pairs = near_dup_pairs(vectors, dim, cfg, exact=True)
+        edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        metrics.rounds = 1
+        metrics.k_final = 0
+    else:
+        index = build_ivf_index(vectors, cfg, n_centroids)
+        remaining = _unit_queries(vectors, cfg).localCheckpoint(eager=True)
+        n_total = remaining.count()
+        k = k0
+        accepted: List[DataFrame] = []
+        while True:
+            metrics.rounds += 1
+            metrics.k_final = k
+            res = ivf_search(index, remaining, k, n_probe).filter(
+                F.col("sim") >= cfg.threshold
+            )
+            counted = res.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("__n__"),
+                F.collect_list(F.struct("neighbor_id", "sim")).alias("__ms__"),
+            ).localCheckpoint(eager=True)
+            done = counted.filter(F.col("__n__") < k).select(
+                "query_id", F.explode("__ms__").alias("m")
+            ).select("query_id", F.col("m.neighbor_id").alias("neighbor_id"))
+            accepted.append(done.localCheckpoint(eager=True))
+            saturated = counted.filter(F.col("__n__") >= k).select("query_id")
+            remaining = remaining.join(saturated, on="query_id", how="leftsemi").localCheckpoint(
+                eager=True
+            )
+            n_remaining = remaining.count()
+            if n_remaining == 0 or k > 2 * n_total:
+                break
+            k *= 2
+        index.release()
+        matches = accepted[0]
+        for extra in accepted[1:]:
+            matches = matches.unionByName(extra)
+        edges = matches.select(
+            F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+        ).dropDuplicates(["src", "dst"])
+
+    from pyspark import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    if collect_metrics:
+        metrics.match_edges = edges.count()
+        no_edges = metrics.match_edges == 0
+    else:
+        no_edges = edges.isEmpty()
+
+    if no_edges:
+        empty = vectors.sparkSession.createDataFrame([], "id long, component long")
+        edges.unpersist()
+        metrics.rows_after = metrics.rows_before
+        return ANNDedupResult(vectors, empty, metrics)
+
+    assignment, cc_stats = connected_components(edges)
+    metrics.cc_iterations = cc_stats.iterations
+    kept = (
+        vectors.join(
+            assignment.withColumnRenamed("id", idc).withColumnRenamed("component", "__component__"),
+            on=idc,
+            how="left",
+        )
+        .filter(F.col("__component__").isNull() | (F.col("__component__") == F.col(idc)))
+        .drop("__component__")
+    )
+    if collect_metrics:
+        metrics.rows_after = kept.count()
+    edges.unpersist()
+    return ANNDedupResult(kept, assignment, metrics)

@@ -81,3 +81,75 @@ def test_lsh_buckets_shape(spark, vectors):
     rows = b.groupBy("id").count().collect()
     assert all(r["count"] == 3 for r in rows)
     assert b.agg(F.max("bucket")).first()[0] < 16
+
+
+def _clusters_from_pairs(pairs, n):
+    """Union-find oracle: min-id component labels."""
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n)}
+
+
+def _numpy_threshold_pairs(vectors_df, thr):
+    rows = sorted(vectors_df.collect(), key=lambda r: r["vec_id"])
+    mat = np.asarray([r["embedding"] for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    ids = [r["vec_id"] for r in rows]
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sims[i, j] >= thr:
+                out.add((ids[i], ids[j]))
+    return out
+
+
+def test_ann_dedup_exact_matches_numpy_oracle(spark, vectors):
+    from sparkdedup.ann import ann_dedup
+
+    thr = 0.85
+    cfg = ANNConfig(threshold=thr)
+    oracle = _clusters_from_pairs(_numpy_threshold_pairs(vectors, thr), N)
+    want_kept = {i for i in range(N) if oracle[i] == i}
+
+    res = ann_dedup(vectors, DIM, cfg, exact=True)
+    got_kept = {r["vec_id"] for r in res.kept.select("vec_id").collect()}
+    assert got_kept == want_kept
+    assert res.metrics.match_edges > 0
+
+
+def test_ann_dedup_adaptive_k_full_probe_is_exact(spark, vectors):
+    """k-doubling over the IVF index with n_probe == n_centroids (exact
+    search) must reproduce the exact threshold-graph clusters, even when
+    k0 is tiny (forcing multiple saturation rounds)."""
+    from sparkdedup.ann import ann_dedup
+
+    thr = 0.85
+    cfg = ANNConfig(threshold=thr)
+    exact = ann_dedup(vectors, DIM, cfg, exact=True)
+    want = {r["vec_id"] for r in exact.kept.select("vec_id").collect()}
+
+    res = ann_dedup(vectors, DIM, cfg, exact=False, n_centroids=4, n_probe=4, k0=2)
+    got = {r["vec_id"] for r in res.kept.select("vec_id").collect()}
+    assert res.metrics.rounds >= 3, "k0=2 on 20-dup clusters must saturate repeatedly"
+    assert got == want
+
+
+def test_ann_dedup_no_matches_keeps_all(spark):
+    from sparkdedup.ann import ann_dedup
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(DIM)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    res = ann_dedup(df, DIM, ANNConfig(threshold=0.999), exact=True)
+    assert res.kept.count() == 40
+    assert res.metrics.match_edges == 0
