@@ -8,8 +8,9 @@ Usage (mirrors the reference CLIs, utils/args.py:86-313):
                --work_dir /data/work --metrics /data/metrics.json
 
 Modes: minhash | simhash | exact | bloom | ccnet | substring.
-minhash runs the fully resumable staged pipeline (sparkdedup.pipeline);
-the others run in-session and write output + metrics.
+minhash/simhash/ccnet/substring run the fully resumable staged
+pipelines (sparkdedup.pipeline: work_dir parquet stages + metrics
+JSON); exact/bloom are single-shuffle jobs and run in-session.
 """
 
 from __future__ import annotations
@@ -45,6 +46,7 @@ def build_parser() -> argparse.ArgumentParser:
     sh = sub.add_parser("simhash")
     common(sh)
     sh.add_argument("--ngram_size", type=int, default=3)
+    sh.add_argument("--f", type=int, default=64, choices=[64, 128], help="fingerprint bits")
     sh.add_argument("--bit_diff", type=int, default=3)
     sh.add_argument("--num_bucket", type=int, default=4)
 
@@ -100,37 +102,43 @@ def main(argv=None) -> int:
         print(json.dumps({"mode": "minhash", "before": m.rows_before, "after": m.rows_after, "seconds": round(time.time() - t0, 2)}))
         return 0
 
+    if args.mode == "simhash":
+        from sparkdedup.pipeline import simhash_job
+
+        cfg = SimHashConfig(
+            column=args.column, ngram=args.ngram_size, f=args.f,
+            bit_diff=args.bit_diff, num_bucket=args.num_bucket,
+        )
+        m = simhash_job(spark, args.input, args.output, args.work_dir, cfg, args.index, args.metrics)
+        print(json.dumps({"mode": "simhash", "before": m.rows_before, "after": m.rows_after, "seconds": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.mode == "ccnet":
+        from sparkdedup.pipeline import ccnet_job
+
+        cfg = CCNetConfig(column=args.column, hash_func=args.hash_func)
+        m = ccnet_job(spark, args.input, args.output, args.work_dir, cfg, args.index, args.metrics)
+        print(json.dumps({"mode": "ccnet", "before": m.rows_before, "after": m.rows_after, "seconds": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.mode == "substring":
+        from sparkdedup.pipeline import substring_job
+
+        cfg = SubstringConfig(column=args.column, k=args.k, strategy=args.strategy, stride=args.stride)
+        m = substring_job(spark, args.input, args.output, args.work_dir, cfg, args.index, args.metrics)
+        print(json.dumps({"mode": "substring", "before": m.rows_before, "after": m.rows_after, "seconds": round(time.time() - t0, 2)}))
+        return 0
+
     df = with_doc_id(read_documents(spark, args.input), args.index)
     if args.index is None:
         df = df.persist()  # mii stability across reuse
 
-    if args.mode == "simhash":
-        from sparkdedup.simhash import simhash_dedup
-
-        res = simhash_dedup(
-            df,
-            SimHashConfig(column=args.column, ngram=args.ngram_size, bit_diff=args.bit_diff, num_bucket=args.num_bucket),
-        )
-        kept, before, after = res.kept, res.metrics.rows_before, res.metrics.rows_after
-    elif args.mode in ("exact", "bloom"):
+    if args.mode in ("exact", "bloom"):
         from sparkdedup.exact import exact_hash_dedup
 
         before = df.count()
         kept = exact_hash_dedup(df, ExactHashConfig(column=args.column, hash_func=args.hash_func))
         after = kept.count()
-    elif args.mode == "ccnet":
-        from sparkdedup.exact import ccnet_dedup
-
-        before = df.count()
-        kept = ccnet_dedup(df, CCNetConfig(column=args.column, hash_func=args.hash_func))
-        after = kept.count()
-    elif args.mode == "substring":
-        from sparkdedup.suffix import substring_dedup
-
-        res = substring_dedup(
-            df, SubstringConfig(column=args.column, k=args.k, strategy=args.strategy, stride=args.stride)
-        )
-        kept, before, after = res.kept, res.metrics.rows_before, res.metrics.rows_after
     else:  # pragma: no cover
         raise SystemExit(f"unknown mode {args.mode}")
 

@@ -84,20 +84,29 @@ def explode_lines(df: DataFrame, column: str, id_col: str = DOC_ID) -> DataFrame
     )
 
 
-def ccnet_dedup(
-    df: DataFrame, cfg: CCNetConfig = CCNetConfig(), id_col: str = DOC_ID
-) -> DataFrame:
-    """Line-level dedup: globally-first occurrence of each normalized
-    line survives; documents are rebuilt in original line order and
-    empty documents dropped (ccnet.py:166-194)."""
-    lines = explode_lines(df, cfg.column, id_col).withColumn(
+def ccnet_hashed_lines(df: DataFrame, cfg: CCNetConfig, id_col: str = DOC_ID) -> DataFrame:
+    """(id, line_no, line, __lh__) — normalized-line hash per line."""
+    return explode_lines(df, cfg.column, id_col).withColumn(
         "__lh__", content_hash(normalize_line(F.col("line")), cfg.hash_func)
     )
-    # first occurrence in (doc_id, line_no) global order; min over a
-    # packed struct keeps this a skew-immune partial aggregation
-    firsts = lines.groupBy("__lh__").agg(
+
+
+def ccnet_line_firsts(df: DataFrame, cfg: CCNetConfig, id_col: str = DOC_ID) -> DataFrame:
+    """The expensive global aggregation: first (doc, line) occurrence of
+    each normalized-line hash. This is the stage a resumable job
+    materializes — min over a packed struct keeps it a skew-immune
+    partial aggregation."""
+    return ccnet_hashed_lines(df, cfg, id_col).groupBy("__lh__").agg(
         F.min(F.struct(F.col(id_col), F.col("line_no"))).alias("first")
     )
+
+
+def ccnet_rebuild(
+    df: DataFrame, firsts: DataFrame, cfg: CCNetConfig = CCNetConfig(), id_col: str = DOC_ID
+) -> DataFrame:
+    """Rebuild documents keeping only their globally-first lines
+    (``firsts`` may come from ``ccnet_line_firsts`` or a staged parquet)."""
+    lines = ccnet_hashed_lines(df, cfg, id_col)
     kept_lines = (
         lines.join(firsts, on="__lh__")
         .filter((F.col(f"first.{id_col}") == F.col(id_col)) & (F.col("first.line_no") == F.col("line_no")))
@@ -121,3 +130,12 @@ def ccnet_dedup(
         .join(rebuilt, on=id_col, how="inner")
         .withColumnRenamed("__rebuilt__", cfg.column)
     )
+
+
+def ccnet_dedup(
+    df: DataFrame, cfg: CCNetConfig = CCNetConfig(), id_col: str = DOC_ID
+) -> DataFrame:
+    """Line-level dedup: globally-first occurrence of each normalized
+    line survives; documents are rebuilt in original line order and
+    empty documents dropped (ccnet.py:166-194)."""
+    return ccnet_rebuild(df, ccnet_line_firsts(df, cfg, id_col), cfg, id_col)

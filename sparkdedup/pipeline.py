@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkdedup.cc import connected_components
-from sparkdedup.config import MinHashConfig
+from sparkdedup.config import CCNetConfig, MinHashConfig, SimHashConfig, SubstringConfig
 from sparkdedup.io import DOC_ID, partitioned_save, read_documents, with_doc_id
 from sparkdedup.minhash import COMPONENT, SIG, band_edges, make_signature_udf
 
@@ -162,17 +162,193 @@ def minhash_job(
     pid_rows = out.groupBy(F.spark_partition_id().alias("pid")).count().collect()
     m.partition_rows = {str(r["pid"]): r["count"] for r in pid_rows}
 
-    if metrics_path:
-        with open(metrics_path, "w") as f:
-            json.dump(
-                {
-                    "mode": m.mode,
-                    "rows_before": m.rows_before,
-                    "rows_after": m.rows_after,
-                    "stages": {k: asdict(v) for k, v in m.stages.items()},
-                    "partition_rows": m.partition_rows,
-                },
-                f,
-                indent=2,
-            )
+    _write_metrics(m, metrics_path)
     return m
+
+
+def _write_metrics(m: RunMetrics, metrics_path: Optional[str]) -> None:
+    if not metrics_path:
+        return
+    with open(metrics_path, "w") as f:
+        json.dump(
+            {
+                "mode": m.mode,
+                "rows_before": m.rows_before,
+                "rows_after": m.rows_after,
+                "stages": {k: asdict(v) for k, v in m.stages.items()},
+                "partition_rows": m.partition_rows,
+            },
+            f,
+            indent=2,
+        )
+
+
+def _stage_ids(
+    spark: SparkSession, input_path: str, work_dir: str, id_column: Optional[str], m: RunMetrics
+) -> DataFrame:
+    """Shared first stage: materialized stable ids (mii is not stable
+    across recomputation — must be staged before anything joins on it)."""
+    ids_path = os.path.join(work_dir, "ids.parquet")
+    t = time.time()
+    if _complete(ids_path):
+        m.stages["ids"] = StageInfo(time.time() - t, resumed=True)
+    else:
+        from sparkdedup.io import ensure_parallelism
+
+        df = ensure_parallelism(read_documents(spark, input_path))
+        with_doc_id(df, id_column).write.parquet(ids_path, mode="overwrite")
+        m.stages["ids"] = StageInfo(time.time() - t)
+    ids_df = spark.read.parquet(ids_path)
+    m.rows_before = ids_df.count()
+    return ids_df
+
+
+def _finalize(
+    spark: SparkSession, kept: DataFrame, output_path: str, m: RunMetrics,
+    metrics_path: Optional[str], t: float,
+) -> RunMetrics:
+    partitioned_save(kept, output_path)
+    m.stages["write"] = StageInfo(time.time() - t)
+    out = spark.read.parquet(output_path)
+    m.rows_after = out.count()
+    pid_rows = out.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+    m.partition_rows = {str(r["pid"]): r["count"] for r in pid_rows}
+    _write_metrics(m, metrics_path)
+    return m
+
+
+def simhash_job(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    work_dir: str,
+    cfg: SimHashConfig = SimHashConfig(),
+    id_column: Optional[str] = None,
+    metrics_path: Optional[str] = None,
+) -> RunMetrics:
+    """Resumable SimHash dedup: ids -> fingerprints -> edges ->
+    assignment -> representative write. Docs too short to fingerprint
+    are kept as unique (simhash_dedup semantics)."""
+    from sparkdedup.simhash import FP, _fp_not_null, make_fingerprint_udf, simhash_edges
+
+    m = RunMetrics(mode="simhash")
+    os.makedirs(work_dir, exist_ok=True)
+    fps_path = os.path.join(work_dir, "fps.parquet")
+    edges_path = os.path.join(work_dir, "edges.parquet")
+    assign_path = os.path.join(work_dir, "assignment.parquet")
+
+    ids_df = _stage_ids(spark, input_path, work_dir, id_column, m)
+
+    t = time.time()
+    if _complete(fps_path):
+        m.stages["fps"] = StageInfo(time.time() - t, resumed=True)
+    else:
+        fp_udf = make_fingerprint_udf(cfg)
+        (
+            ids_df.select(F.col(DOC_ID), fp_udf(F.col(cfg.column)).alias(FP))
+            .filter(_fp_not_null(cfg))
+            .write.parquet(fps_path, mode="overwrite")
+        )
+        m.stages["fps"] = StageInfo(time.time() - t)
+    fps = spark.read.parquet(fps_path)
+    m.stages["fps"].rows = fps.count()
+
+    t = time.time()
+    if _complete(edges_path):
+        m.stages["edges"] = StageInfo(time.time() - t, resumed=True)
+    else:
+        simhash_edges(fps, cfg, DOC_ID).write.parquet(edges_path, mode="overwrite")
+        m.stages["edges"] = StageInfo(time.time() - t)
+    edges = spark.read.parquet(edges_path)
+    m.stages["edges"].rows = edges.count()
+
+    t = time.time()
+    if _complete(assign_path):
+        m.stages["cc"] = StageInfo(time.time() - t, resumed=True)
+    else:
+        assignment, _ = connected_components(edges)
+        assignment.write.parquet(assign_path, mode="overwrite")
+        m.stages["cc"] = StageInfo(time.time() - t)
+    assignment = spark.read.parquet(assign_path)
+    m.stages["cc"].rows = assignment.count()
+
+    t = time.time()
+    kept = (
+        ids_df.join(
+            assignment.withColumnRenamed("id", DOC_ID).withColumnRenamed("component", COMPONENT),
+            on=DOC_ID,
+            how="left",
+        )
+        .filter(F.col(COMPONENT).isNull() | (F.col(COMPONENT) == F.col(DOC_ID)))
+        .drop(COMPONENT)
+    )
+    return _finalize(spark, kept, output_path, m, metrics_path, t)
+
+
+def substring_job(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    work_dir: str,
+    cfg: SubstringConfig = SubstringConfig(),
+    id_column: Optional[str] = None,
+    metrics_path: Optional[str] = None,
+) -> RunMetrics:
+    """Resumable exact-substring dedup: ids -> duplicated-fingerprint
+    table (PASS A, the expensive global aggregation) -> splice + write.
+    A killed splice restarts from the staged dup_keys parquet."""
+    from sparkdedup.suffix import _detect_dup_keys, apply_substring_splice
+
+    m = RunMetrics(mode="substring")
+    os.makedirs(work_dir, exist_ok=True)
+    dup_path = os.path.join(work_dir, "dup_keys.parquet")
+
+    ids_df = _stage_ids(spark, input_path, work_dir, id_column, m)
+
+    t = time.time()
+    if _complete(dup_path):
+        m.stages["dup_keys"] = StageInfo(time.time() - t, resumed=True)
+    else:
+        _detect_dup_keys(ids_df, cfg).write.parquet(dup_path, mode="overwrite")
+        m.stages["dup_keys"] = StageInfo(time.time() - t)
+    dup_keys = spark.read.parquet(dup_path)
+    m.stages["dup_keys"].rows = dup_keys.count()
+
+    t = time.time()
+    kept, _path = apply_substring_splice(
+        ids_df, dup_keys, cfg, DOC_ID, n_dup=m.stages["dup_keys"].rows
+    )
+    return _finalize(spark, kept, output_path, m, metrics_path, t)
+
+
+def ccnet_job(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    work_dir: str,
+    cfg: CCNetConfig = CCNetConfig(),
+    id_column: Optional[str] = None,
+    metrics_path: Optional[str] = None,
+) -> RunMetrics:
+    """Resumable ccnet line dedup: ids -> global line-firsts table (the
+    corpus-wide aggregation) -> rebuild + write."""
+    from sparkdedup.exact import ccnet_line_firsts, ccnet_rebuild
+
+    m = RunMetrics(mode="ccnet")
+    os.makedirs(work_dir, exist_ok=True)
+    firsts_path = os.path.join(work_dir, "line_firsts.parquet")
+
+    ids_df = _stage_ids(spark, input_path, work_dir, id_column, m)
+
+    t = time.time()
+    if _complete(firsts_path):
+        m.stages["line_firsts"] = StageInfo(time.time() - t, resumed=True)
+    else:
+        ccnet_line_firsts(ids_df, cfg, DOC_ID).write.parquet(firsts_path, mode="overwrite")
+        m.stages["line_firsts"] = StageInfo(time.time() - t)
+    firsts = spark.read.parquet(firsts_path)
+    m.stages["line_firsts"].rows = firsts.count()
+
+    t = time.time()
+    kept = ccnet_rebuild(ids_df, firsts, cfg, DOC_ID)
+    return _finalize(spark, kept, output_path, m, metrics_path, t)

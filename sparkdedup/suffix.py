@@ -395,31 +395,20 @@ def _detect_dup_keys(df: DataFrame, cfg: SubstringConfig) -> DataFrame:
     )
 
 
-def substring_dedup(
+def apply_substring_splice(
     df: DataFrame,
-    cfg: SubstringConfig = SubstringConfig(),
+    dup_keys: DataFrame,
+    cfg: SubstringConfig,
     id_col: str = DOC_ID,
-    storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
-    collect_metrics: bool = True,
-) -> SubstringResult:
-    """Remove every byte range (length >= k) whose content appears more
-    than once in the corpus; drop emptied docs."""
-    from sparkdedup.io import ensure_parallelism
-
-    metrics = SubstringMetrics()
-    df = ensure_parallelism(df).persist(storage_level)
-    if collect_metrics:
-        metrics.rows_before = df.count()
-
-    dup_keys = _detect_dup_keys(df, cfg).persist(StorageLevel.MEMORY_AND_DISK)
-    stats = dup_keys.agg(
-        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("c"), F.lit(0)).alias("w")
-    ).first()
-    n_dup, metrics.duplicated_windows = int(stats["n"]), int(stats["w"])
-    metrics.dup_keys = n_dup
+    n_dup: Optional[int] = None,
+) -> Tuple[DataFrame, str]:
+    """PASS B: splice the duplicated windows out of ``df`` given the
+    (h1, h2[, c]) duplicated-fingerprint table (possibly re-read from a
+    staged parquet). Returns (kept rows with empties dropped, path)."""
+    if n_dup is None:
+        n_dup = dup_keys.count()
 
     if n_dup <= cfg.max_broadcast_keys:
-        metrics.path = "broadcast"
         if n_dup:
             pds = dup_keys.select("h1", "h2").toPandas()
             keys = _pack_keys(
@@ -429,7 +418,6 @@ def substring_dedup(
             keys.sort()
         else:
             keys = np.empty(0, dtype=_KEY_DTYPE)
-        dup_keys.unpersist()  # collected to driver; drop the cache now
         bc = df.sparkSession.sparkContext.broadcast(keys)
         splice_udf = make_broadcast_splice_udf(cfg, bc)
         kept = (
@@ -437,9 +425,8 @@ def substring_dedup(
             if n_dup
             else df
         )
+        path = "broadcast"
     else:
-        # dup_keys stays persisted: it is in `kept`'s lineage (semi-join).
-        metrics.path = "shuffle"
         wins = df.select(id_col, cfg.column).mapInPandas(
             make_window_rows(cfg, id_col),
             schema=StructType(
@@ -473,8 +460,37 @@ def substring_dedup(
             )
             .drop("__ranges__")
         )
-    kept = kept.filter(F.length(F.col(cfg.column)) > 0)
+        path = "shuffle"
+    return kept.filter(F.length(F.col(cfg.column)) > 0), path
+
+
+def substring_dedup(
+    df: DataFrame,
+    cfg: SubstringConfig = SubstringConfig(),
+    id_col: str = DOC_ID,
+    storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    collect_metrics: bool = True,
+) -> SubstringResult:
+    """Remove every byte range (length >= k) whose content appears more
+    than once in the corpus; drop emptied docs."""
+    from sparkdedup.io import ensure_parallelism
+
+    metrics = SubstringMetrics()
+    df = ensure_parallelism(df).persist(storage_level)
+    if collect_metrics:
+        metrics.rows_before = df.count()
+
+    dup_keys = _detect_dup_keys(df, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    stats = dup_keys.agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("c"), F.lit(0)).alias("w")
+    ).first()
+    n_dup, metrics.duplicated_windows = int(stats["n"]), int(stats["w"])
+    metrics.dup_keys = n_dup
+
+    kept, metrics.path = apply_substring_splice(df, dup_keys, cfg, id_col, n_dup=n_dup)
     cached = [df]
+    if metrics.path == "broadcast":
+        dup_keys.unpersist()  # collected to driver; drop the cache now
     if collect_metrics:
         metrics.rows_after = kept.count()
     if metrics.path == "shuffle":

@@ -71,3 +71,83 @@ def test_cli_parser_defaults():
     assert a.k == 50 and a.strategy == "overlapping"
     a = p.parse_args(["exact", "-i", "in", "-o", "out", "--hash_func", "md5"])
     assert a.hash_func == "md5"
+
+
+def test_simhash_job_end_to_end_and_resume(spark, tmp_path, corpus_path):
+    from sparkdedup.config import SimHashConfig
+    from sparkdedup.pipeline import simhash_job
+    from sparkdedup.simhash import simhash_dedup
+    from sparkdedup.io import with_doc_id
+
+    out1 = str(tmp_path / "out1")
+    work = str(tmp_path / "work")
+    metrics_path = str(tmp_path / "m.json")
+    m1 = simhash_job(
+        spark, corpus_path, out1, work, SimHashConfig(), id_column="doc_id", metrics_path=metrics_path
+    )
+    assert m1.rows_before == 400 and 0 < m1.rows_after <= 400
+    # parity with the in-session operator
+    df = with_doc_id(spark.read.parquet(corpus_path), "doc_id")
+    res = simhash_dedup(df, SimHashConfig())
+    want = {r["doc_id"] for r in res.kept.select("doc_id").collect()}
+    got = {r["doc_id"] for r in spark.read.parquet(out1).select("doc_id").collect()}
+    assert got == want
+    blob = json.load(open(metrics_path))
+    assert blob["stages"]["fps"]["rows"] > 0
+
+    # resume: kill after edges (delete assignment), rerun
+    shutil.rmtree(os.path.join(work, "assignment.parquet"))
+    out2 = str(tmp_path / "out2")
+    m2 = simhash_job(spark, corpus_path, out2, work, SimHashConfig(), id_column="doc_id")
+    assert m2.stages["ids"].resumed and m2.stages["fps"].resumed and m2.stages["edges"].resumed
+    assert not m2.stages["cc"].resumed
+    got2 = {r["doc_id"] for r in spark.read.parquet(out2).select("doc_id").collect()}
+    assert got2 == want
+
+
+def test_substring_job_end_to_end_and_resume(spark, tmp_path, corpus_path):
+    from sparkdedup.config import SubstringConfig
+    from sparkdedup.io import with_doc_id
+    from sparkdedup.pipeline import substring_job
+    from sparkdedup.suffix import substring_dedup
+
+    cfg = SubstringConfig(k=80)
+    out1 = str(tmp_path / "out1")
+    work = str(tmp_path / "work")
+    m1 = substring_job(spark, corpus_path, out1, work, cfg, id_column="doc_id")
+    df = with_doc_id(spark.read.parquet(corpus_path), "doc_id")
+    res = substring_dedup(df, cfg)
+    want = {r["doc_id"]: r["content"] for r in res.kept.select("doc_id", "content").collect()}
+    got = {r["doc_id"]: r["content"] for r in spark.read.parquet(out1).select("doc_id", "content").collect()}
+    assert got == want
+
+    # resume from staged dup_keys (detection must not rerun)
+    out2 = str(tmp_path / "out2")
+    m2 = substring_job(spark, corpus_path, out2, work, cfg, id_column="doc_id")
+    assert m2.stages["ids"].resumed and m2.stages["dup_keys"].resumed
+    got2 = {r["doc_id"]: r["content"] for r in spark.read.parquet(out2).select("doc_id", "content").collect()}
+    assert got2 == want
+
+
+def test_ccnet_job_end_to_end_and_resume(spark, tmp_path, corpus_path):
+    from sparkdedup.config import CCNetConfig
+    from sparkdedup.exact import ccnet_dedup
+    from sparkdedup.io import with_doc_id
+    from sparkdedup.pipeline import ccnet_job
+
+    out1 = str(tmp_path / "out1")
+    work = str(tmp_path / "work")
+    m1 = ccnet_job(spark, corpus_path, out1, work, CCNetConfig(), id_column="doc_id")
+    df = with_doc_id(spark.read.parquet(corpus_path), "doc_id")
+    want = {
+        r["doc_id"]: r["content"]
+        for r in ccnet_dedup(df, CCNetConfig()).select("doc_id", "content").collect()
+    }
+    got = {r["doc_id"]: r["content"] for r in spark.read.parquet(out1).select("doc_id", "content").collect()}
+    assert got == want
+
+    out2 = str(tmp_path / "out2")
+    m2 = ccnet_job(spark, corpus_path, out2, work, CCNetConfig(), id_column="doc_id")
+    assert m2.stages["ids"].resumed and m2.stages["line_firsts"].resumed
+    got2 = {r["doc_id"]: r["content"] for r in spark.read.parquet(out2).select("doc_id", "content").collect()}
+    assert got2 == want
