@@ -27,6 +27,36 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def adjusted_rand_index(labels_a: list, labels_b: list) -> float:
+    """ARI from the contingency table (Hubert & Arabie 1985) — the
+    reference's NEWS-COPY scoring metric
+    (/root/reference/tests/benchmark_news.py:39-47, which calls
+    sklearn.metrics.adjusted_rand_score; plain-Python here, no sklearn
+    in the container)."""
+    from collections import Counter, defaultdict
+
+    assert len(labels_a) == len(labels_b)
+    n = len(labels_a)
+    if n < 2:
+        return 1.0
+
+    def c2(x: int) -> int:
+        return x * (x - 1) // 2
+
+    cont: dict = defaultdict(int)
+    for a, b in zip(labels_a, labels_b):
+        cont[(a, b)] += 1
+    sum_ij = sum(c2(v) for v in cont.values())
+    sum_a = sum(c2(v) for v in Counter(labels_a).values())
+    sum_b = sum(c2(v) for v in Counter(labels_b).values())
+    total = c2(n)
+    expected = sum_a * sum_b / total
+    max_index = (sum_a + sum_b) / 2
+    if max_index == expected:
+        return 1.0
+    return (sum_ij - expected) / (max_index - expected)
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
 
@@ -88,6 +118,12 @@ def main() -> None:
         precision = (tp + extra_true) / max(len(predicted), 1)
         recall = tp / max(len(eligible), 1)
         f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+
+        # cluster-level ARI vs the raw planted labels (NEWS-COPY-style
+        # scoring); unplanted/unassigned docs are singleton clusters
+        truth_labels = [int(c) if c >= 0 else -(doc_id + 2) for doc_id, c in zip(corpus["doc_id"], truth)]
+        pred_labels = [int(assign.get(int(d), -(int(d) + 2))) for d in corpus["doc_id"]]
+        ari = adjusted_rand_index(truth_labels, pred_labels)
         report[cfg_name] = {
             "eligible_truth_pairs": len(eligible),
             "predicted_pairs": len(predicted),
@@ -98,6 +134,7 @@ def main() -> None:
             "precision": round(precision, 4),
             "recall": round(recall, 4),
             "f1": round(f1, 4),
+            "ari": round(ari, 4),
         }
         print(cfg_name, report[cfg_name])
 
