@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     mh.add_argument("--b", type=int, default=None)
     mh.add_argument("--r", type=int, default=None)
     mh.add_argument("--hash_bits", type=int, default=32, choices=[16, 32, 64])
+    mh.add_argument(
+        "--base_hash", default="xxh32", choices=["xxh32", "sha1"],
+        help="base shingle hash (sha1 = reference non-Spark default)",
+    )
 
     sh = sub.add_parser("simhash")
     common(sh)
@@ -95,6 +99,7 @@ def main(argv=None) -> int:
             b=args.b,
             r=args.r,
             hash_bits=args.hash_bits,
+            base_hash=args.base_hash,
         )
         m = minhash_job(
             spark, args.input, args.output, args.work_dir, cfg, args.index, args.metrics

@@ -37,6 +37,10 @@ class MinHashConfig:
     b: Optional[int] = None
     r: Optional[int] = None
     hash_bits: int = 32  # {16, 32, 64}
+    # base shingle hash: xxh32 (the reference Spark variant) or sha1
+    # (the reference non-Spark default, args.py:150-153: sha1_hash with
+    # d=min(hash_bits, 32))
+    base_hash: str = "xxh32"  # {xxh32, sha1}
     seed: int = SEED
 
     def resolved_bands(self) -> Tuple[int, int]:

@@ -74,6 +74,27 @@ class MinHashMetrics:
     stage_seconds: Dict[str, float] = field(default_factory=dict)
 
 
+def _sha1_shingle_hashes(texts: List[str], cfg: MinHashConfig) -> List[Optional[np.ndarray]]:
+    """sha1 base-hash path (reference non-Spark default,
+    minhash.py:301-305: sha1_hash(token, d=min(hash_bits, 32))).
+    Per-shingle hashlib calls — a parity option, not the hot path."""
+    from sparkdedup.hashing import sha1_hash
+    from sparkdedup.shingle import word_shingles
+
+    d = min(cfg.hash_bits, 32)
+    out: List[Optional[np.ndarray]] = []
+    for text in texts:
+        if text is None:
+            out.append(None)
+            continue
+        shingles = word_shingles(text, cfg.ngram, cfg.min_length)
+        if shingles is None:
+            out.append(None)
+            continue
+        out.append(np.unique(np.array([sha1_hash(s, d) for s in shingles], dtype=np.uint32)))
+    return out
+
+
 def compute_band_signatures(
     texts: List[str],
     cfg: MinHashConfig,
@@ -88,7 +109,10 @@ def compute_band_signatures(
     dtype, max_hash, prime = _HASH_CONFIG[cfg.hash_bits]
     a_coef, b_coef = generate_permutations(cfg.num_perm, int(prime), cfg.seed, dtype=dtype)
 
-    per_doc = word_shingle_hashes_batch(texts, cfg.ngram, cfg.min_length)
+    if cfg.base_hash == "sha1":
+        per_doc = _sha1_shingle_hashes(texts, cfg)
+    else:
+        per_doc = word_shingle_hashes_batch(texts, cfg.ngram, cfg.min_length)
     if cfg.hash_bits == 16:
         per_doc = [None if h is None else (h & np.uint32(0xFFFF)).astype(np.uint16) for h in per_doc]
     elif cfg.hash_bits == 64:

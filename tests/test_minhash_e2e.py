@@ -130,3 +130,52 @@ def test_minhash_hash_bits_variants_match_oracle(spark, corpus, corpus_df, hash_
     assert len(op) > 50
     assert len(op & sp) / len(op) >= 0.99
     assert len(op & sp) / max(len(sp), 1) >= 0.99
+
+
+def test_sha1_base_hash_signature_parity():
+    """base_hash='sha1' (reference non-Spark default): the band
+    signature equals a direct per-shingle sha1 + permute + min oracle."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    from sparkdedup.config import MinHashConfig
+    from sparkdedup.hashing import generate_permutations
+    from sparkdedup.minhash import compute_band_signatures
+    from sparkdedup.shingle import word_shingles
+
+    cfg = MinHashConfig(base_hash="sha1", num_perm=32, b=8, r=4)
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    [sig] = compute_band_signatures([text], cfg)
+    assert sig is not None and len(sig) == 8
+
+    prime = np.uint32((1 << 32) - 5)
+    a, bcoef = generate_permutations(32, int(prime), cfg.seed, dtype=np.uint32)
+    hs = np.array(
+        sorted(
+            struct.unpack("<I", hashlib.sha1(s).digest()[:4])[0]
+            for s in word_shingles(text, cfg.ngram, cfg.min_length)
+        ),
+        dtype=np.uint32,
+    )
+    with np.errstate(over="ignore"):
+        ph = (hs[:, None] * a[None, :] + bcoef[None, :]) % prime & np.uint32(0xFFFFFFFF)
+    mins = ph.min(axis=0)
+    want = [mins[i * 4 : (i + 1) * 4].tobytes() for i in range(8)]
+    assert sig == want
+
+
+def test_sha1_base_hash_dedups_planted_duplicates(spark):
+    from sparkdedup.config import MinHashConfig
+    from sparkdedup.fixtures import generate_code_files
+    from sparkdedup.minhash import minhash_dedup
+
+    corpus = generate_code_files(300, seed=42)
+    df = spark.createDataFrame(corpus).withColumn("__id__", F.col("doc_id"))
+    res_sha = minhash_dedup(df, MinHashConfig(base_hash="sha1"))
+    res_xxh = minhash_dedup(df, MinHashConfig())
+    # same near-identical planted dups -> identical surviving sets
+    sha_ids = {r["doc_id"] for r in res_sha.kept.select("doc_id").collect()}
+    xxh_ids = {r["doc_id"] for r in res_xxh.kept.select("doc_id").collect()}
+    assert sha_ids == xxh_ids
