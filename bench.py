@@ -75,9 +75,11 @@ def main() -> None:
     if os.path.exists(matrix_path):
         try:
             matrix = json.load(open(matrix_path))
-            out["sustained_400k"] = {
+            nd = matrix.get("n_docs", 0)
+            out[f"sustained_{nd // 1000}k"] = {
                 k: v["best_docs_per_sec"] for k, v in matrix.get("results", {}).items()
             }
+            out["scaling_efficiency_2_to_8"] = matrix.get("efficiency_2_to_8")
             out["scaling_efficiency_8_to_32"] = matrix.get("efficiency_8_to_32")
         except Exception:
             pass

@@ -284,7 +284,13 @@ def minhash_dedup(
     t0 = time.time()
 
     df = ensure_parallelism(df)
-    with_sig = df.withColumn(SIG, make_signature_udf(cfg)(F.col(cfg.column))).persist(storage_level)
+    with_sig = df.withColumn(SIG, make_signature_udf(cfg)(F.col(cfg.column)))
+    # storage_level=None: recompute signatures per consumer instead of
+    # caching — wins when the cached (text + signatures) working set
+    # would spill to disk (cache serialization + spill I/O + GC can cost
+    # more than one extra CPU pass at high core counts)
+    if storage_level is not None:
+        with_sig = with_sig.persist(storage_level)
     kept_docs = with_sig.filter(F.col(SIG).isNotNull())
     if collect_metrics:
         metrics.rows_before = df.count()
@@ -310,7 +316,10 @@ def minhash_dedup(
         result = kept_docs.drop(SIG)
         metrics.rows_after = metrics.rows_kept_len_filter
         metrics.stage_seconds["cc"] = time.time() - t2
-        return MinHashResult(result, empty_assign, metrics, cached=[with_sig])
+        return MinHashResult(
+            result, empty_assign, metrics,
+            cached=[with_sig] if storage_level is not None else [],
+        )
 
     assignment, cc_stats = connected_components(edges)
     metrics.cc_iterations = cc_stats.iterations
@@ -330,4 +339,7 @@ def minhash_dedup(
         metrics.rows_after = kept.count()
     metrics.stage_seconds["filter"] = time.time() - t3
     edges.unpersist()
-    return MinHashResult(kept, assignment, metrics, cached=[with_sig])
+    return MinHashResult(
+        kept, assignment, metrics,
+        cached=[with_sig] if storage_level is not None else [],
+    )

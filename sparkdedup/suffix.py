@@ -265,38 +265,45 @@ def _append_merged(ranges: List[Tuple[int, int]], fresh: List[Tuple[int, int]]) 
             ranges.append((s, e))
 
 
-def make_broadcast_splice_udf(cfg: SubstringConfig, bc_keys):
-    """Scalar UDF: content -> spliced content, testing each window's
-    fingerprint against the broadcast sorted dup-key array. Streams the
-    doc chunk-by-chunk; never materializes full-doc hash arrays."""
+def _splice_text_broadcast(t: Optional[str], keys: np.ndarray, cfg: SubstringConfig) -> Optional[str]:
+    """One doc through membership + range merge + splice (streamed
+    chunk-by-chunk; never materializes full-doc hash arrays)."""
+    if t is None:
+        return t
+    n_keys = keys.size
+    raw = t.encode("utf-8")
+    data = np.frombuffer(raw, dtype=np.uint8)
+    ranges: List[Tuple[int, int]] = []
+    if n_keys:
+        for offs, h1, h2 in iter_window_chunks(data, cfg):
+            q = _pack_keys(h1, h2)
+            pos = np.searchsorted(keys, q)
+            pos_c = np.minimum(pos, n_keys - 1)
+            hit = (pos < n_keys) & (keys[pos_c] == q)
+            if hit.any():
+                _append_merged(ranges, merge_offsets_to_ranges(offs[hit], cfg.k))
+    return splice_ranges(raw, ranges) if ranges else t
 
-    @pandas_udf(StringType())
-    def splice_broadcast(texts: pd.Series) -> pd.Series:
+
+def make_broadcast_splice_mapper(cfg: SubstringConfig, bc_keys):
+    """mapInPandas fn: splice + drop-emptied docs in ONE pass. (A
+    scalar UDF plus a length filter evaluates the expensive splice UDF
+    TWICE — Catalyst duplicates Python UDFs referenced by both a
+    Filter and a Project.)"""
+    column = cfg.column
+
+    def splice_batches(batches):
         from sparkdedup.tuning import tune_worker_memory
 
         tune_worker_memory()
         keys = bc_keys.value
-        n_keys = keys.size
-        out = []
-        for t in texts:
-            if t is None:
-                out.append(t)
-                continue
-            raw = t.encode("utf-8")
-            data = np.frombuffer(raw, dtype=np.uint8)
-            ranges: List[Tuple[int, int]] = []
-            if n_keys:
-                for offs, h1, h2 in iter_window_chunks(data, cfg):
-                    q = _pack_keys(h1, h2)
-                    pos = np.searchsorted(keys, q)
-                    pos_c = np.minimum(pos, n_keys - 1)
-                    hit = (pos < n_keys) & (keys[pos_c] == q)
-                    if hit.any():
-                        _append_merged(ranges, merge_offsets_to_ranges(offs[hit], cfg.k))
-            out.append(splice_ranges(raw, ranges) if ranges else t)
-        return pd.Series(out)
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[column] = [_splice_text_broadcast(t, keys, cfg) for t in pdf[column]]
+            mask = pdf[column].map(lambda t: t is not None and len(t) > 0)
+            yield pdf[mask]
 
-    return splice_broadcast
+    return splice_batches
 
 
 _RANGES_SCHEMA = ArrayType(
@@ -304,25 +311,31 @@ _RANGES_SCHEMA = ArrayType(
 )
 
 
-def make_range_splice_udf(cfg: SubstringConfig):
-    """UDF for the shuffle fallback: (content, sorted ranges) -> spliced."""
+def make_range_splice_mapper(cfg: SubstringConfig):
+    """mapInPandas fn for the shuffle fallback: rows carry a
+    ``__ranges__`` column (sorted disjoint (start,end) structs or null);
+    splice + drop-emptied in one pass, ranges column dropped."""
+    column = cfg.column
 
-    @pandas_udf(StringType())
-    def splice(texts: pd.Series, ranges: pd.Series) -> pd.Series:
+    def _splice_row(t, rs):
+        if rs is None or len(rs) == 0 or t is None:
+            return t
+        return splice_ranges(t.encode("utf-8"), [(r["start"], r["end"]) for r in rs])
+
+    def splice_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from sparkdedup.tuning import tune_worker_memory
 
         tune_worker_memory()
-        out = []
-        for t, rs in zip(texts, ranges):
-            if rs is None or len(rs) == 0 or t is None:
-                out.append(t)
-            else:
-                out.append(
-                    splice_ranges(t.encode("utf-8"), [(r["start"], r["end"]) for r in rs])
-                )
-        return pd.Series(out)
+        cols = None
+        for pdf in batches:
+            if cols is None:
+                cols = [c for c in pdf.columns if c != "__ranges__"]
+            pdf = pdf.copy()
+            pdf[column] = [_splice_row(t, rs) for t, rs in zip(pdf[column], pdf["__ranges__"])]
+            mask = pdf[column].map(lambda t: t is not None and len(t) > 0)
+            yield pdf.loc[mask, cols]
 
-    return splice
+    return splice_batches
 
 
 _WIN_SCHEMA = StructType(
@@ -419,12 +432,10 @@ def apply_substring_splice(
         else:
             keys = np.empty(0, dtype=_KEY_DTYPE)
         bc = df.sparkSession.sparkContext.broadcast(keys)
-        splice_udf = make_broadcast_splice_udf(cfg, bc)
-        kept = (
-            df.withColumn(cfg.column, splice_udf(F.col(cfg.column)))
-            if n_dup
-            else df
-        )
+        if n_dup:
+            kept = df.mapInPandas(make_broadcast_splice_mapper(cfg, bc), schema=df.schema)
+        else:
+            kept = df.filter(F.length(F.col(cfg.column)) > 0)
         path = "broadcast"
     else:
         wins = df.select(id_col, cfg.column).mapInPandas(
@@ -449,19 +460,12 @@ def apply_substring_splice(
         per_doc = ranges.groupBy(id_col).agg(
             F.sort_array(F.collect_list(F.struct("start", "end"))).alias("__ranges__")
         )
-        splice_udf = make_range_splice_udf(cfg)
-        kept = (
-            df.join(per_doc, on=id_col, how="left")
-            .withColumn(
-                cfg.column,
-                F.when(F.col("__ranges__").isNull(), F.col(cfg.column)).otherwise(
-                    splice_udf(F.col(cfg.column), F.col("__ranges__"))
-                ),
-            )
-            .drop("__ranges__")
+        joined = df.join(per_doc, on=id_col, how="left")
+        kept = joined.mapInPandas(
+            make_range_splice_mapper(cfg), schema=joined.drop("__ranges__").schema
         )
         path = "shuffle"
-    return kept.filter(F.length(F.col(cfg.column)) > 0), path
+    return kept, path
 
 
 def substring_dedup(

@@ -151,3 +151,26 @@ def test_ccnet_job_end_to_end_and_resume(spark, tmp_path, corpus_path):
     assert m2.stages["ids"].resumed and m2.stages["line_firsts"].resumed
     got2 = {r["doc_id"]: r["content"] for r in spark.read.parquet(out2).select("doc_id", "content").collect()}
     assert got2 == want
+
+
+def test_sample_clusters(spark):
+    """U3 debug sampler: returns member rows of a few non-trivial
+    clusters, ordered by (component, id)."""
+    import pandas as pd
+
+    from sparkdedup.pipeline import sample_clusters
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"__id__": list(range(8)), "content": [f"doc {i}" for i in range(8)]})
+    )
+    # components: {0,1,2} -> 0, {3,4} -> 3, {5} singleton, 6/7 untouched
+    assignment = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 5)], "id long, component long"
+    )
+    out = sample_clusters(docs, assignment, n_clusters=10).collect()
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r["component"], []).append(r["__id__"])
+    # only non-trivial clusters sampled, all members present, sorted
+    assert set(by_comp) == {0, 3}
+    assert by_comp[0] == [0, 1, 2] and by_comp[3] == [3, 4]
