@@ -392,13 +392,20 @@ def simhash_edges(fps: DataFrame, cfg: SimHashConfig, id_col: str = DOC_ID) -> D
         cands = pair_candidates(bucketed.drop("pidx").select("rep", FP, "key"))
     else:
         # split oversized buckets exactly (pigeonhole sub-ranges of the
-        # remaining bits — no recall loss, see refine_key_columns)
-        sizes = bucketed.groupBy("key").agg(F.count(F.lit(1)).alias("__bsz__"))
-        sized = bucketed.join(sizes, on="key")
-        small = sized.filter(F.col("__bsz__") <= cfg.max_bucket_size).select(
+        # remaining bits — no recall loss, see refine_key_columns).
+        # Only the OVERSIZED keys (<= n_fps/cap of them by definition)
+        # are materialized and broadcast for routing — the common case
+        # (no mega-buckets) costs one aggregation + two map-side probes.
+        big_keys = (
+            bucketed.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("__bsz__"))
+            .filter(F.col("__bsz__") > cfg.max_bucket_size)
+            .select("key")
+        )
+        small = bucketed.join(F.broadcast(big_keys), on="key", how="left_anti").select(
             "rep", FP, "key"
         )
-        big = sized.filter(F.col("__bsz__") > cfg.max_bucket_size)
+        big = bucketed.join(F.broadcast(big_keys), on="key", how="leftsemi")
         sub_lists = refine_key_columns(cols, cfg.f, cfg.bit_diff, cfg.num_bucket)
         sub_matrix = F.array(*[F.array(*subs) for subs in sub_lists])
         big_sub = big.select(
