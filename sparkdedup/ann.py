@@ -158,10 +158,20 @@ def ivf_search(
     queries: DataFrame,
     k: int,
     n_probe: int = 4,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """(query_id, neighbor_id, sim: raw double, rank) — top-k per query
     over the ``n_probe`` nearest cells. Queries is (query_id, qv) with
-    qv already unit-normalized."""
+    qv already unit-normalized.
+
+    ``broadcast_queries`` is only for BOUNDED query sets (a handful of
+    probe vectors): it ships the probed query rows to every executor.
+    When the query side is unbounded — the dedup loop queries the whole
+    corpus — it MUST be False: the join shuffles both sides on ``cell``
+    instead, and AQE still broadcasts at runtime if the side turns out
+    small. At real scale pick n_centroids ~ sqrt(N) so ``cell`` is a
+    fine-grained shuffle key (AQE skew-split covers hot cells).
+    """
     from pyspark.sql import Window
 
     cent_df = F.array(*[
@@ -179,8 +189,9 @@ def ivf_search(
         .filter(F.col("crank") <= n_probe)
         .select("query_id", "qv", F.col("c.cell").alias("cell"))
     )
+    probe_side = F.broadcast(probed) if broadcast_queries else probed
     scored = (
-        index.assigned.join(F.broadcast(probed), on="cell")
+        index.assigned.join(probe_side, on="cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("sim", dot(F.col("qv"), F.col("nv")))
     )
@@ -221,6 +232,77 @@ def ivf_topk(
     return out
 
 
+def near_dup_candidate_pairs(v: DataFrame, dim: int, cfg: ANNConfig) -> DataFrame:
+    """SRP-LSH candidate (id_a, id_b) pairs (id_a < id_b), BOUNDED:
+
+    1. identical vectors are collapsed to a min-id representative via a
+       64-bit content hash (same pattern as simhash's fingerprint
+       collapse, simhash.py:365-370) — members attach to their rep with
+       one star pair each, never pairwise. A hash collision only ADDS a
+       candidate; the exact cosine verify removes it.
+    2. distinct reps are SRP-bucketed; buckets up to
+       cfg.max_bucket_size pair all-vs-all, OVERSIZED buckets emit only
+       anchor-star candidates (every member vs the bucket's min-id rep)
+       — O(bucket) instead of O(bucket^2). Mega-buckets arise from
+       mutually-similar crowds, where anchor stars preserve cluster
+       connectivity; the pair LIST is therefore connectivity-preserving
+       rather than exhaustive inside oversized buckets (documented
+       trade-off of the approximate path).
+
+    ``v`` is (id, v) with v unit-normalized.
+    """
+    sig = v.withColumn("__vsig__", F.xxhash64("v"))
+    reps = sig.groupBy("__vsig__").agg(
+        F.min("id").alias("rep"), F.count(F.lit(1)).alias("__cnt__")
+    )
+    star = (
+        sig.join(reps.filter(F.col("__cnt__") > 1).drop("__cnt__"), on="__vsig__")
+        .filter(F.col("id") != F.col("rep"))
+        .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    distinct_v = (
+        sig.join(reps.select("__vsig__", "rep"), on="__vsig__")
+        .filter(F.col("id") == F.col("rep"))
+        .select("id", "v")
+    )
+    udf = make_bucket_udf(dim, cfg)
+    b = distinct_v.select(
+        "id", F.posexplode(udf(F.col("v"))).alias("table", "bucket")
+    )
+    if cfg.max_bucket_size is None:
+        pairs = (
+            b.alias("x")
+            .join(b.withColumnRenamed("id", "id_b").alias("y"), on=["table", "bucket"])
+            .filter(F.col("x.id") < F.col("id_b"))
+            .select(F.col("x.id").alias("id_a"), "id_b")
+        )
+    else:
+        # (table, bucket) cardinality <= num_tables * 2^num_hyperplanes
+        # — the sizes frame is tiny and AQE broadcast-joins it back.
+        sizes = b.groupBy("table", "bucket").agg(
+            F.count(F.lit(1)).alias("__bsz__"), F.min("id").alias("__anchor__")
+        )
+        routed = b.join(sizes, on=["table", "bucket"])
+        small = routed.filter(F.col("__bsz__") <= cfg.max_bucket_size).select(
+            "table", "bucket", "id"
+        )
+        pairs_small = (
+            small.alias("x")
+            .join(small.withColumnRenamed("id", "id_b").alias("y"), on=["table", "bucket"])
+            .filter(F.col("x.id") < F.col("id_b"))
+            .select(F.col("x.id").alias("id_a"), "id_b")
+        )
+        pairs_big = (
+            routed.filter(
+                (F.col("__bsz__") > cfg.max_bucket_size)
+                & (F.col("id") != F.col("__anchor__"))
+            )
+            .select(F.col("__anchor__").alias("id_a"), F.col("id").alias("id_b"))
+        )
+        pairs = pairs_small.unionByName(pairs_big)
+    return star.unionByName(pairs).dropDuplicates(["id_a", "id_b"])
+
+
 def near_dup_pairs(
     vectors: DataFrame,
     dim: int,
@@ -230,9 +312,10 @@ def near_dup_pairs(
     """All unordered pairs with cosine >= cfg.threshold.
 
     exact=True: O(N^2) self-join (small inputs / oracle parity).
-    exact=False: SRP-LSH candidate generation (pairs sharing any
-    bucket) + exact cosine verification — approximate recall but no
-    quadratic shuffle; this is the 100TB path.
+    exact=False: SRP-LSH candidate generation (identical-vector
+    collapse + size-bounded buckets, see near_dup_candidate_pairs) +
+    exact cosine verification — approximate recall but no quadratic
+    shuffle; this is the 100TB path.
     """
     idc, vc = cfg.id_column, cfg.vector_column
     v = vectors.select(
@@ -246,14 +329,7 @@ def near_dup_pairs(
             .select(F.col("a.id").alias("id_a"), F.col("id_b"), F.col("a.v").alias("va"), F.col("vb"))
         )
     else:
-        b = lsh_buckets(vectors, dim, cfg)
-        pairs = (
-            b.alias("x")
-            .join(b.withColumnRenamed("id", "id_b").alias("y"), on=["table", "bucket"])
-            .filter(F.col("x.id") < F.col("id_b"))
-            .select(F.col("x.id").alias("id_a"), "id_b")
-            .dropDuplicates(["id_a", "id_b"])
-        )
+        pairs = near_dup_candidate_pairs(v, dim, cfg)
         cand = (
             pairs.join(v.withColumnRenamed("id", "id_a").withColumnRenamed("v", "va"), on="id_a")
             .join(v.withColumnRenamed("id", "id_b").withColumnRenamed("v", "vb"), on="id_b")
@@ -283,6 +359,71 @@ class ANNDedupResult:
     kept: DataFrame
     assignment: DataFrame
     metrics: ANNDedupMetrics
+
+
+def ann_match_edges(
+    vectors: DataFrame,
+    dim: int,
+    cfg: ANNConfig = ANNConfig(),
+    exact: bool = False,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k0: int = 20,
+    metrics: Optional[ANNDedupMetrics] = None,
+) -> DataFrame:
+    """(src, dst) deduped match edges >= cfg.threshold — the candidate
+    graph the CC/cluster stage consumes (and the staged ann_job
+    checkpoints). exact=True: all-pairs threshold join; else the
+    adaptive-k loop over the IVF index (see ann_dedup)."""
+    if metrics is None:
+        metrics = ANNDedupMetrics()
+    if exact:
+        pairs = near_dup_pairs(vectors, dim, cfg, exact=True)
+        metrics.rounds = 1
+        metrics.k_final = 0
+        return pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+
+    index = build_ivf_index(vectors, cfg, n_centroids)
+    remaining = _unit_queries(vectors, cfg).localCheckpoint(eager=True)
+    n_total = remaining.count()
+    k = k0
+    accepted: List[DataFrame] = []
+    while True:
+        metrics.rounds += 1
+        metrics.k_final = k
+        # the query side here is the (still-saturated subset of the)
+        # CORPUS — never broadcast it; round 1 it IS the corpus
+        res = ivf_search(index, remaining, k, n_probe, broadcast_queries=False).filter(
+            F.col("sim") >= cfg.threshold
+        )
+        counted = res.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("__n__"),
+            F.collect_list(F.struct("neighbor_id", "sim")).alias("__ms__"),
+        ).localCheckpoint(eager=True)
+        forced_exit = k > 2 * n_total  # k beyond any possible result size
+        done = counted.filter(
+            F.lit(forced_exit) | (F.col("__n__") < k)
+        ).select("query_id", F.explode("__ms__").alias("m")).select(
+            "query_id", F.col("m.neighbor_id").alias("neighbor_id")
+        )
+        accepted.append(done.localCheckpoint(eager=True))
+        if forced_exit:
+            break
+        saturated = counted.filter(F.col("__n__") >= k).select("query_id")
+        remaining = remaining.join(saturated, on="query_id", how="leftsemi").localCheckpoint(
+            eager=True
+        )
+        n_remaining = remaining.count()
+        if n_remaining == 0:
+            break
+        k *= 2
+    index.release()
+    matches = accepted[0]
+    for extra in accepted[1:]:
+        matches = matches.unionByName(extra)
+    return matches.select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    ).dropDuplicates(["src", "dst"])
 
 
 def ann_dedup(
@@ -318,46 +459,7 @@ def ann_dedup(
     if collect_metrics:
         metrics.rows_before = vectors.count()
 
-    if exact:
-        pairs = near_dup_pairs(vectors, dim, cfg, exact=True)
-        edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        metrics.rounds = 1
-        metrics.k_final = 0
-    else:
-        index = build_ivf_index(vectors, cfg, n_centroids)
-        remaining = _unit_queries(vectors, cfg).localCheckpoint(eager=True)
-        n_total = remaining.count()
-        k = k0
-        accepted: List[DataFrame] = []
-        while True:
-            metrics.rounds += 1
-            metrics.k_final = k
-            res = ivf_search(index, remaining, k, n_probe).filter(
-                F.col("sim") >= cfg.threshold
-            )
-            counted = res.groupBy("query_id").agg(
-                F.count(F.lit(1)).alias("__n__"),
-                F.collect_list(F.struct("neighbor_id", "sim")).alias("__ms__"),
-            ).localCheckpoint(eager=True)
-            done = counted.filter(F.col("__n__") < k).select(
-                "query_id", F.explode("__ms__").alias("m")
-            ).select("query_id", F.col("m.neighbor_id").alias("neighbor_id"))
-            accepted.append(done.localCheckpoint(eager=True))
-            saturated = counted.filter(F.col("__n__") >= k).select("query_id")
-            remaining = remaining.join(saturated, on="query_id", how="leftsemi").localCheckpoint(
-                eager=True
-            )
-            n_remaining = remaining.count()
-            if n_remaining == 0 or k > 2 * n_total:
-                break
-            k *= 2
-        index.release()
-        matches = accepted[0]
-        for extra in accepted[1:]:
-            matches = matches.unionByName(extra)
-        edges = matches.select(
-            F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
-        ).dropDuplicates(["src", "dst"])
+    edges = ann_match_edges(vectors, dim, cfg, exact, n_centroids, n_probe, k0, metrics)
 
     from pyspark import StorageLevel
 

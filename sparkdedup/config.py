@@ -68,6 +68,24 @@ class SimHashConfig:
     # loss. None disables the size probe.
     max_bucket_size: Optional[int] = 4096
 
+    def __post_init__(self) -> None:
+        if self.f not in (64, 128):
+            raise ValueError(f"simhash f must be 64 or 128, got {self.f}")
+        if self.num_bucket <= self.bit_diff:
+            # the reference requires b > k: with b blocks and k differing
+            # bits there must be at least one all-equal block per pair
+            raise ValueError(
+                f"num_bucket ({self.num_bucket}) must exceed bit_diff ({self.bit_diff})"
+            )
+        import math
+
+        if math.ceil(self.f / self.num_bucket) > 64:
+            # block bit-extraction packs each block into one signed long
+            raise ValueError(
+                f"block width ceil({self.f}/{self.num_bucket}) exceeds 64 bits; "
+                "raise num_bucket"
+            )
+
 
 @dataclass(frozen=True)
 class ExactHashConfig:
@@ -125,3 +143,9 @@ class ANNConfig:
     num_hyperplanes: int = 16  # LSH bucketing (sign-random-projection)
     num_tables: int = 4
     seed: int = SEED
+    # SRP buckets larger than this emit anchor-star candidates (every
+    # member vs the bucket's min-id rep) instead of all pairs — bounds
+    # the bucket self-join to O(bucket) for mega-buckets at a
+    # connectivity-preserving (not exhaustive) recall inside them.
+    # None disables the bound.
+    max_bucket_size: Optional[int] = 4096

@@ -153,3 +153,72 @@ def test_ann_dedup_no_matches_keeps_all(spark):
     res = ann_dedup(df, DIM, ANNConfig(threshold=0.999), exact=True)
     assert res.kept.count() == 40
     assert res.metrics.match_edges == 0
+
+
+def test_ivf_search_unbounded_queries_no_broadcast(spark, vectors):
+    """The dedup loop's query side is the corpus — its plan must not
+    pin a BroadcastExchange on it (VERDICT r2 #1: broadcasting ~N*dim
+    doubles to every executor is the 100x-scale killer)."""
+    import contextlib
+    import io
+
+    from sparkdedup.ann import _unit_queries, build_ivf_index, ivf_search
+
+    cfg = ANNConfig()
+    index = build_ivf_index(vectors, cfg, n_centroids=4)
+    q = _unit_queries(vectors, cfg)
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("extended")
+        return buf.getvalue()
+
+    # with size-based auto-broadcast off, only a PINNED hint can place a
+    # BroadcastExchange — exactly what broadcast_queries=False must avoid
+    # (at runtime AQE still broadcasts genuinely small sides; that's fine)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        unhinted = plan_of(ivf_search(index, q, 5, n_probe=2, broadcast_queries=False))
+        hinted = plan_of(ivf_search(index, q, 5, n_probe=2, broadcast_queries=True))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastExchange" not in unhinted.split("== Physical Plan ==")[-1]
+    assert "BroadcastExchange" in hinted.split("== Physical Plan ==")[-1]
+    index.release()
+
+
+def test_srp_mega_bucket_candidates_bounded(spark):
+    """>=10^4 identical + near-identical vectors: candidate pair count
+    must stay O(n), not O(n^2) (VERDICT r2 #2)."""
+    from sparkdedup.ann import near_dup_candidate_pairs, unit_vector
+
+    n_ident, n_near = 6000, 6000
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal(DIM)
+    rows = [(i, [float(x) for x in base]) for i in range(n_ident)]
+    for i in range(n_ident, n_ident + n_near):
+        rows.append((i, [float(x) for x in base + 1e-3 * rng.standard_normal(DIM)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cfg = ANNConfig(threshold=0.9, num_hyperplanes=4, num_tables=4, max_bucket_size=256)
+    v = df.select(
+        F.col("vec_id").alias("id"),
+        unit_vector(F.col("embedding").cast("array<double>")).alias("v"),
+    )
+    n_cand = near_dup_candidate_pairs(v, DIM, cfg).count()
+    n = n_ident + n_near
+    # identical stars (n_ident-1) + anchor stars per (table,bucket):
+    # worst case ~tables * members; quadratic would be ~7.2e7
+    assert n_cand <= 20 * n, f"candidate pairs {n_cand} not O(n)"
+    # connectivity: every vector must still reach the min-id rep through
+    # the verified pairs (one cluster — all sims ~1.0)
+    from sparkdedup.ann import near_dup_pairs
+    from sparkdedup.cc import connected_components
+
+    pairs = near_dup_pairs(df, DIM, cfg, exact=False)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    assign, _ = connected_components(edges)
+    comps = assign.select("component").distinct().collect()
+    assert {r["component"] for r in comps} == {0}
+    assert assign.count() == n  # every vector (root included) maps to 0
