@@ -81,9 +81,9 @@ from sparkdedup.io import DOC_ID
 _B1 = np.uint64(1000003)  # odd bases -> invertible mod 2^64
 _B2 = np.uint64(998244353)
 
-# 128-bit fingerprint as a little-endian structured pair; numpy sorts /
-# searches this lexicographically, which is all membership needs.
-_KEY_DTYPE = np.dtype([("h1", "<u8"), ("h2", "<u8")])
+# 128-bit fingerprints travel as two parallel u64 arrays co-sorted by
+# (h1, h2) — see _sort_key_halves/_member_mask; a structured 16-byte
+# dtype hits numpy's void-comparison slow paths in sort/searchsorted.
 
 
 def _inv_u64(b: np.uint64) -> np.uint64:
@@ -99,25 +99,51 @@ _B1_INV = _inv_u64(_B1)
 _B2_INV = _inv_u64(_B2)
 
 
+# Per-worker scratch buffers reused across rolling_hashes calls. This
+# sandbox (and many overcommitted VMs) services first-touch page faults
+# at ~10 MB/s — a fresh 32 MB temp costs seconds, a reused one
+# microseconds. Spark Python workers execute one task at a time in one
+# thread, so a module-level cache is safe; the buffers are sized to the
+# largest chunk seen and amortize to zero.
+_SCRATCH: dict = {}
+
+
+def _scratch_u64(n: int, name: str) -> np.ndarray:
+    buf = _SCRATCH.get(name)
+    if buf is None or buf.size < n:
+        _SCRATCH[name] = buf = np.empty(n, dtype=np.uint64)
+    return buf[:n]
+
+
 def rolling_hashes(data: np.ndarray, k: int, base: np.uint64, base_inv: np.uint64) -> np.ndarray:
     """All k-window hashes of a uint8 array, O(n) vectorized.
 
     h[i] = sum_{j<k} data[i+j] * base^j  (mod 2^64), computed as
     (S[i+k]-S[i]) * base^-i with S the prefix sum of data[j]*base^j.
-    """
+    Only the returned array is freshly allocated; intermediates live in
+    reused scratch buffers."""
     n = data.size
     if n < k:
         return np.empty(0, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        pows = np.ones(n, dtype=np.uint64)
+        pows = _scratch_u64(n, "pows")
+        pows[0] = 1
         pows[1:] = base
         np.cumprod(pows, out=pows)  # base^i
-        inv_pows = np.ones(n - k + 1, dtype=np.uint64)
+        m = n - k + 1
+        inv_pows = _scratch_u64(m, "inv_pows")
+        inv_pows[0] = 1
         inv_pows[1:] = base_inv
         np.cumprod(inv_pows, out=inv_pows)  # base^-i
-        terms = data.astype(np.uint64) * pows
-        prefix = np.concatenate(([np.uint64(0)], np.cumsum(terms, dtype=np.uint64)))
-        return (prefix[k:] - prefix[: n - k + 1]) * inv_pows
+        terms = _scratch_u64(n, "terms")
+        np.multiply(data, pows, out=terms, casting="unsafe")
+        prefix = _scratch_u64(n + 1, "prefix")
+        prefix[0] = 0
+        np.cumsum(terms, out=prefix[1:])
+        out = np.empty(m, dtype=np.uint64)
+        np.subtract(prefix[k:], prefix[:m], out=out)
+        out *= inv_pows
+        return out
 
 
 def _chunk_span(cfg: SubstringConfig) -> int:
@@ -155,12 +181,55 @@ def iter_window_chunks(
         yield offs, h1, h2
 
 
-def _pack_keys(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-    """Pack parallel u64 arrays into the 128-bit structured key dtype."""
-    out = np.empty(h1.size, dtype=_KEY_DTYPE)
-    out["h1"] = h1
-    out["h2"] = h2
-    return out
+def _cosort_key_halves(h1: np.ndarray, h2: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Sort parallel u64 key halves by (h1, h2). One indirect argsort on
+    h1 plus direct np.sort of h2 inside equal-h1 runs — runs longer
+    than 1 are h1 collisions/repeats, rare for hash keys, so this beats
+    np.lexsort (two indirect passes) ~3x and np.unique on a 16-byte
+    structured dtype (void comparisons) ~25x."""
+    order = np.argsort(h1, kind="stable")
+    s1 = np.ascontiguousarray(h1[order])
+    s2 = np.ascontiguousarray(h2[order])
+    starts = np.flatnonzero(np.concatenate(([True], s1[1:] != s1[:-1])))
+    lens = np.diff(np.append(starts, s1.size))
+    for st, ln in zip(starts[lens > 1], lens[lens > 1]):
+        s2[st : st + ln] = np.sort(s2[st : st + ln])
+    return s1, s2
+
+
+def _unique_counts(h1: np.ndarray, h2: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(uniq_h1, uniq_h2, counts) over parallel u64 key halves."""
+    if h1.size == 0:
+        return h1, h2, np.empty(0, dtype=np.int64)
+    s1, s2 = _cosort_key_halves(h1, h2)
+    new = np.empty(s1.size, dtype=bool)
+    new[0] = True
+    np.logical_or(s1[1:] != s1[:-1], s2[1:] != s2[:-1], out=new[1:])
+    idx = np.flatnonzero(new)
+    counts = np.diff(np.append(idx, s1.size))
+    return s1[idx], s2[idx], counts
+
+
+def _sort_key_halves(h1: np.ndarray, h2: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Co-sort the 128-bit keys by (h1, h2) as two contiguous u64
+    arrays — the broadcast membership container."""
+    return _cosort_key_halves(h1, h2)
+
+
+def _member_mask(k1: np.ndarray, k2: np.ndarray, q1: np.ndarray, q2: np.ndarray) -> np.ndarray:
+    """Membership of query keys (q1, q2) in the co-sorted key set
+    (k1, k2): vectorized double binary search on the first half, second
+    half verified at the hit position; h1-collision runs in the KEY set
+    (|dup|^2/2^64 — effectively never) fall to a tiny loop."""
+    lo = np.searchsorted(k1, q1, side="left")
+    hi = np.searchsorted(k1, q1, side="right")
+    hit = np.zeros(q1.size, dtype=bool)
+    one = (hi - lo) == 1
+    if one.any():
+        hit[one] = k2[lo[one]] == q2[one]
+    for i in np.flatnonzero(hi - lo > 1):
+        hit[i] = bool(np.any(k2[lo[i] : hi[i]] == q2[i]))
+    return hit
 
 
 _FP_SCHEMA = StructType(
@@ -210,12 +279,27 @@ def make_fingerprint_counts(cfg: SubstringConfig):
                     continue
                 data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
                 for _offs, h1, h2 in iter_window_chunks(data, cfg):
-                    keys = _pack_keys(h1, h2)
-                    uniq, counts = np.unique(keys, return_counts=True)
-                    acc_h1.append(uniq["h1"].copy())
-                    acc_h2.append(uniq["h2"].copy())
+                    # probe reduction potential with a cheap direct sort
+                    # (~10x faster than the indirect cosort): chunks that
+                    # are mostly unique gain nothing from pre-aggregation
+                    # — emit raw cnt=1 rows and let the JVM's map-side
+                    # partial HashAggregate do the (non-)reduction.
+                    if h1.size >= 1 << 16:
+                        s = _scratch_u64(h1.size, "probe")
+                        s[:] = h1
+                        s.sort()
+                        n_u1 = 1 + int(np.count_nonzero(s[1:] != s[:-1]))
+                    else:
+                        n_u1 = 0  # small chunk: exact path is cheap
+                    if n_u1 > 0.75 * h1.size:
+                        u1, u2 = h1, h2
+                        counts = np.ones(h1.size, dtype=np.int64)
+                    else:
+                        u1, u2, counts = _unique_counts(h1, h2)
+                    acc_h1.append(u1)
+                    acc_h2.append(u2)
                     acc_c.append(counts.astype(np.int64))
-                    acc_n += uniq.size
+                    acc_n += u1.size
                     if acc_n >= _EMIT_ROWS:
                         yield flush()
         if acc_n:
@@ -270,16 +354,13 @@ def _splice_text_broadcast(t: Optional[str], keys: np.ndarray, cfg: SubstringCon
     chunk-by-chunk; never materializes full-doc hash arrays)."""
     if t is None:
         return t
-    n_keys = keys.size
+    k1, k2 = keys
     raw = t.encode("utf-8")
     data = np.frombuffer(raw, dtype=np.uint8)
     ranges: List[Tuple[int, int]] = []
-    if n_keys:
+    if k1.size:
         for offs, h1, h2 in iter_window_chunks(data, cfg):
-            q = _pack_keys(h1, h2)
-            pos = np.searchsorted(keys, q)
-            pos_c = np.minimum(pos, n_keys - 1)
-            hit = (pos < n_keys) & (keys[pos_c] == q)
+            hit = _member_mask(k1, k2, h1, h2)
             if hit.any():
                 _append_merged(ranges, merge_offsets_to_ranges(offs[hit], cfg.k))
     return splice_ranges(raw, ranges) if ranges else t
@@ -424,13 +505,12 @@ def apply_substring_splice(
     if n_dup <= cfg.max_broadcast_keys:
         if n_dup:
             pds = dup_keys.select("h1", "h2").toPandas()
-            keys = _pack_keys(
+            keys = _sort_key_halves(
                 np.ascontiguousarray(pds["h1"].to_numpy()).view(np.uint64),
                 np.ascontiguousarray(pds["h2"].to_numpy()).view(np.uint64),
             )
-            keys.sort()
         else:
-            keys = np.empty(0, dtype=_KEY_DTYPE)
+            keys = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64))
         bc = df.sparkSession.sparkContext.broadcast(keys)
         if n_dup:
             kept = df.mapInPandas(make_broadcast_splice_mapper(cfg, bc), schema=df.schema)
@@ -445,18 +525,7 @@ def apply_substring_splice(
             ),
         )
         dup_wins = wins.join(dup_keys.select("h1", "h2"), on=["h1", "h2"], how="leftsemi")
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(id_col).orderBy("off")
-        with_island = dup_wins.withColumn(
-            "__new__",
-            F.when(
-                F.col("off") - F.lag("off").over(w) > F.lit(cfg.k), F.lit(1)
-            ).otherwise(F.lit(0)),
-        ).withColumn("__island__", F.sum("__new__").over(w))
-        ranges = with_island.groupBy(id_col, "__island__").agg(
-            F.min("off").alias("start"), (F.max("off") + F.lit(cfg.k)).alias("end")
-        )
+        ranges = _dup_ranges(dup_wins, cfg, id_col)
         per_doc = ranges.groupBy(id_col).agg(
             F.sort_array(F.collect_list(F.struct("start", "end"))).alias("__ranges__")
         )
@@ -466,6 +535,80 @@ def apply_substring_splice(
         )
         path = "shuffle"
     return kept, path
+
+
+# level-1 island compression granularity: offsets per (doc, chunk)
+# group — bounds both the per-group collect_list (<= 64k longs) and the
+# number of level-2 rows per doc (doc_len / 64k for a fully-duplicated
+# doc: a 100 MB doc -> ~1600 island rows through the per-doc sort,
+# instead of 10^8 window rows through one task).
+_ISLAND_CHUNK_BITS = 16
+
+_ISLAND_SCHEMA = ArrayType(
+    StructType([StructField("s", LongType()), StructField("e", LongType())])
+)
+
+
+def _make_islands_udf(k: int):
+    """array<long> of SORTED offsets -> array<(s, e)> islands, where
+    consecutive offsets with gap <= k merge; s/e are the island's first/
+    last OFFSET (not the byte range) so cross-chunk merging can reapply
+    the exact same gap rule at level 2."""
+
+    @pandas_udf(_ISLAND_SCHEMA)
+    def islands(offs: pd.Series) -> pd.Series:
+        from sparkdedup.tuning import tune_worker_memory
+
+        tune_worker_memory()
+        out = []
+        for arr in offs:
+            a = np.asarray(arr, dtype=np.int64)
+            cut = np.flatnonzero(np.diff(a) > k) + 1
+            starts = np.concatenate(([0], cut))
+            ends = np.concatenate((cut, [a.size]))
+            out.append(
+                [{"s": int(a[s]), "e": int(a[e - 1])} for s, e in zip(starts, ends)]
+            )
+        return pd.Series(out)
+
+    return islands
+
+
+def _dup_ranges(dup_wins: DataFrame, cfg: SubstringConfig, id_col: str) -> DataFrame:
+    """(id, start, end) merged duplicate byte ranges from per-window
+    (id, off) rows — TWO-LEVEL island compression so no single task ever
+    sorts all windows of a giant doc:
+
+      level 1: groupBy (id, off >> chunk_bits) — each group holds at
+      most 2^chunk_bits offsets; contiguous runs collapse to (first,
+      last) offset islands inside a vectorized UDF.
+      level 2: per-doc window over the ISLANDS (orders of magnitude
+      fewer rows than windows; exactly bounded by doc_len / 2^chunk_bits
+      + sparse-run count) merges across chunk boundaries with the
+      identical gap-<=-k rule, then ranges = [min_off, max_off + k).
+
+    Level-1 islands never overlap across chunks (offset spaces are
+    disjoint), so ordering by island start is total and the lag-based
+    merge is exact."""
+    from pyspark.sql import Window
+
+    islands_udf = _make_islands_udf(cfg.k)
+    lvl1 = (
+        dup_wins.groupBy(
+            id_col, F.shiftrightunsigned(F.col("off"), _ISLAND_CHUNK_BITS).alias("__chunk__")
+        )
+        .agg(F.array_sort(F.collect_list("off")).alias("__offs__"))
+        .select(id_col, F.explode(islands_udf("__offs__")).alias("__isl__"))
+        .select(id_col, F.col("__isl__.s").alias("s"), F.col("__isl__.e").alias("e"))
+    )
+    w = Window.partitionBy(id_col).orderBy("s")
+    merged = lvl1.withColumn(
+        "__new__",
+        F.when(F.col("s") - F.lag("e").over(w) > F.lit(cfg.k), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn("__island__", F.sum("__new__").over(w))
+    return merged.groupBy(id_col, "__island__").agg(
+        F.min("s").alias("start"), (F.max("e") + F.lit(cfg.k)).alias("end")
+    )
 
 
 def substring_dedup(

@@ -180,3 +180,39 @@ def test_substring_no_dups_is_identity(spark):
     res = substring_dedup(df, SubstringConfig(column="content", k=20))
     got = {r["doc_id"]: r["content"] for r in res.kept.collect()}
     assert got == {0: data["content"][0], 1: data["content"][1]}
+
+
+def test_substring_shuffle_64mb_fully_duplicated_doc(spark):
+    """VERDICT r2 #5 done-criterion: a >=64 MB fully-duplicated doc
+    through the SHUFFLE path (max_broadcast_keys=0) must compress to a
+    bounded number of ranges per doc (two-level island merge — never a
+    per-doc sort of 10^8 window rows) and match the broadcast path."""
+    import pandas as pd
+
+    from sparkdedup.suffix import _detect_dup_keys, _dup_ranges, make_window_rows, _WIN_SCHEMA
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    unit = "int register_%07d(void) { return (x << 13) ^ 0x9e3779b9; }\n"
+    big = (unit * (64 * 1024 * 1024 // len(unit) + 1))[: 64 << 20]
+    assert len(big) >= 64 << 20
+    data = pd.DataFrame({"doc_id": [0, 1, 2], "content": [big, big, "tiny unique survivor doc"]})
+    df = spark.createDataFrame(data).withColumn("__id__", F.col("doc_id")).persist()
+    cfg = SubstringConfig(column="content", k=100, max_broadcast_keys=0)
+
+    # range compression evidence: both 64 MB docs collapse to ONE range
+    dup_keys = _detect_dup_keys(df, cfg)
+    wins = df.select("__id__", "content").mapInPandas(
+        make_window_rows(cfg, "__id__"),
+        schema=StructType([StructField("__id__", LongType())] + list(_WIN_SCHEMA.fields)),
+    )
+    dup_wins = wins.join(dup_keys.select("h1", "h2"), on=["h1", "h2"], how="leftsemi")
+    ranges = _dup_ranges(dup_wins, cfg, "__id__").groupBy("__id__").count().collect()
+    per_doc = {r["__id__"]: r["count"] for r in ranges}
+    assert per_doc == {0: 1, 1: 1}, per_doc
+
+    res = substring_dedup(df, cfg, collect_metrics=False)
+    assert res.metrics.path == "shuffle"
+    got = {r["doc_id"]: r["content"] for r in res.kept.collect()}
+    assert set(got) == {2} and got[2] == "tiny unique survivor doc"
+    res.release()
+    df.unpersist()
