@@ -63,6 +63,10 @@ COMPONENT = "__component__"
 # row-group; 64k shingles ≈ 8 MB peak — L3-resident per worker.
 _BIT_CHUNK = 1 << 16
 
+# oversized-bucket keys routed via in-set literals up to this many;
+# beyond it (pathological) fall back to broadcast-join routing
+_MAX_INSET_KEYS = 10_000
+
 
 # --- block/permutation layout (driver-side, plain ints) ------------------
 
@@ -393,28 +397,47 @@ def simhash_edges(fps: DataFrame, cfg: SimHashConfig, id_col: str = DOC_ID) -> D
     else:
         # split oversized buckets exactly (pigeonhole sub-ranges of the
         # remaining bits — no recall loss, see refine_key_columns).
-        # Only the OVERSIZED keys (<= n_fps/cap of them by definition)
-        # are materialized and broadcast for routing — the common case
-        # (no mega-buckets) costs one aggregation + two map-side probes.
-        big_keys = (
+        # The oversized-key set is tiny by definition (< n_fps*perms/cap
+        # keys), so probe it with ONE aggregation job and route by
+        # in-set literals — the common case (no mega-buckets) then runs
+        # the plain single-join plan with zero extra joins. Only a
+        # pathological key count (> _MAX_INSET_KEYS) falls back to
+        # broadcast-join routing.
+        big_rows = (
             bucketed.groupBy("key")
             .agg(F.count(F.lit(1)).alias("__bsz__"))
             .filter(F.col("__bsz__") > cfg.max_bucket_size)
             .select("key")
+            .limit(_MAX_INSET_KEYS + 1)
+            .collect()
         )
-        small = bucketed.join(F.broadcast(big_keys), on="key", how="left_anti").select(
-            "rep", FP, "key"
-        )
-        big = bucketed.join(F.broadcast(big_keys), on="key", how="leftsemi")
-        sub_lists = refine_key_columns(cols, cfg.f, cfg.bit_diff, cfg.num_bucket)
-        sub_matrix = F.array(*[F.array(*subs) for subs in sub_lists])
-        big_sub = big.select(
-            "rep",
-            FP,
-            "key",
-            F.explode(F.element_at(sub_matrix, F.col("pidx") + 1)).alias("skey"),
-        )
-        cands = pair_candidates(small).unionByName(pair_candidates(big_sub).drop("skey"))
+        if not big_rows:
+            cands = pair_candidates(bucketed.drop("pidx").select("rep", FP, "key"))
+        else:
+            if len(big_rows) <= _MAX_INSET_KEYS:
+                is_big = F.col("key").isin([r["key"] for r in big_rows])
+                small = bucketed.filter(~is_big).select("rep", FP, "key")
+                big = bucketed.filter(is_big)
+            else:  # pragma: no cover — needs >10k mega-buckets
+                big_keys = (
+                    bucketed.groupBy("key")
+                    .agg(F.count(F.lit(1)).alias("__bsz__"))
+                    .filter(F.col("__bsz__") > cfg.max_bucket_size)
+                    .select("key")
+                )
+                small = bucketed.join(
+                    F.broadcast(big_keys), on="key", how="left_anti"
+                ).select("rep", FP, "key")
+                big = bucketed.join(F.broadcast(big_keys), on="key", how="leftsemi")
+            sub_lists = refine_key_columns(cols, cfg.f, cfg.bit_diff, cfg.num_bucket)
+            sub_matrix = F.array(*[F.array(*subs) for subs in sub_lists])
+            big_sub = big.select(
+                "rep",
+                FP,
+                "key",
+                F.explode(F.element_at(sub_matrix, F.col("pidx") + 1)).alias("skey"),
+            )
+            cands = pair_candidates(small).unionByName(pair_candidates(big_sub).drop("skey"))
 
     pair_edges = (
         cands.select("rep", "rep_b", FP, "__fp_b__")
