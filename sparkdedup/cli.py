@@ -7,10 +7,16 @@ Usage (mirrors the reference CLIs, utils/args.py:86-313):
                --column content --threshold 0.7 --num_perm 250 \\
                --work_dir /data/work --metrics /data/metrics.json
 
-Modes: minhash | simhash | exact | bloom | ccnet | substring.
-minhash/simhash/ccnet/substring run the fully resumable staged
-pipelines (sparkdedup.pipeline: work_dir parquet stages + metrics
-JSON); exact/bloom are single-shuffle jobs and run in-session.
+Modes: minhash | simhash | exact | bloom | ccnet | substring |
+jaccard | ann.
+minhash/simhash/ccnet/substring/jaccard/ann run the fully resumable
+staged pipelines (sparkdedup.pipeline: work_dir parquet stages +
+metrics JSON); exact/bloom are single-shuffle jobs and run in-session.
+``ann`` consumes an embeddings table (id + array<float/double> vector)
+and runs the reference's ann_unisim adaptive-k dedup over the IVF
+index (text_dedup/ann_unisim.py:127-175 semantics; the text->embedding
+model step needs weights absent from this environment — embeddings are
+an input).
 """
 
 from __future__ import annotations
@@ -69,6 +75,25 @@ def build_parser() -> argparse.ArgumentParser:
     sa.add_argument("--strategy", default="overlapping", choices=["overlapping", "longest"])
     sa.add_argument("--stride", type=int, default=1)
 
+    jc = sub.add_parser("jaccard")
+    common(jc)
+    jc.add_argument("--threshold", type=float, default=0.7)
+    jc.add_argument("--ngram_size", type=int, default=5)
+    jc.add_argument("--min_length", type=int, default=5)
+    jc.add_argument("--num_perm", type=int, default=250)
+
+    an = sub.add_parser("ann")
+    an.add_argument("--input", "-i", required=True, help="embeddings parquet dir/table")
+    an.add_argument("--output", "-o", required=True)
+    an.add_argument("--id_column", default="vec_id")
+    an.add_argument("--vector_column", default="embedding")
+    an.add_argument("--threshold", type=float, default=0.9)
+    an.add_argument("--n_centroids", type=int, default=16)
+    an.add_argument("--n_probe", type=int, default=4)
+    an.add_argument("--k0", type=int, default=20)
+    an.add_argument("--metrics", default=None)
+    an.add_argument("--work_dir", default="./sparkdedup_work")
+
     return p
 
 
@@ -124,6 +149,29 @@ def main(argv=None) -> int:
         cfg = CCNetConfig(column=args.column, hash_func=args.hash_func)
         m = ccnet_job(spark, args.input, args.output, args.work_dir, cfg, args.index, args.metrics)
         print(json.dumps({"mode": "ccnet", "before": m.rows_before, "after": m.rows_after, "seconds": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.mode == "jaccard":
+        from sparkdedup.pipeline import jaccard_job
+
+        cfg = MinHashConfig(
+            column=args.column, ngram=args.ngram_size, min_length=args.min_length,
+            num_perm=args.num_perm, threshold=args.threshold,
+        )
+        m = jaccard_job(spark, args.input, args.output, args.work_dir, cfg, args.index, args.metrics)
+        print(json.dumps({"mode": "jaccard", "before": m.rows_before, "after": m.rows_after, "seconds": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.mode == "ann":
+        from sparkdedup.pipeline import ann_job
+
+        m = ann_job(
+            spark, args.input, args.output, args.work_dir,
+            threshold=args.threshold, id_column=args.id_column,
+            vector_column=args.vector_column, n_centroids=args.n_centroids,
+            n_probe=args.n_probe, k0=args.k0, metrics_path=args.metrics,
+        )
+        print(json.dumps({"mode": "ann", "before": m.rows_before, "after": m.rows_after, "seconds": round(time.time() - t0, 2)}))
         return 0
 
     if args.mode == "substring":

@@ -64,6 +64,25 @@ class JaccardResult:
         self.cached.clear()
 
 
+def jaccard_verified_edges(
+    kept_docs: DataFrame, cfg: MinHashConfig, id_col: str = DOC_ID
+) -> DataFrame:
+    """(src, dst) LSH candidate star edges surviving the exact-Jaccard
+    verification join. ``kept_docs`` carries the text column and a
+    non-null SIG column; the staged jaccard_job checkpoints this frame."""
+    bands = kept_docs.select(col(id_col), F.posexplode(SIG).alias("band", "hash"))
+    cand = band_edges(bands, id_col)
+    shingles = kept_docs.select(
+        col(id_col), shingle_array(col(cfg.column), cfg.ngram).alias("__sh__")
+    )
+    return (
+        cand.join(shingles.withColumnRenamed(id_col, "src").withColumnRenamed("__sh__", "sa"), on="src")
+        .join(shingles.withColumnRenamed(id_col, "dst").withColumnRenamed("__sh__", "sb"), on="dst")
+        .filter(jaccard(col("sa"), col("sb")) >= cfg.threshold)
+        .select("src", "dst")
+    )
+
+
 def jaccard_dedup(
     df: DataFrame,
     cfg: MinHashConfig = MinHashConfig(),
@@ -84,18 +103,9 @@ def jaccard_dedup(
     with_sig = df.withColumn(SIG, sig_udf(col(cfg.column))).persist(StorageLevel.MEMORY_AND_DISK)
     kept_docs = with_sig.filter(col(SIG).isNotNull())
 
-    bands = kept_docs.select(col(id_col), F.posexplode(SIG).alias("band", "hash"))
-    cand = band_edges(bands, id_col)
-
-    shingles = kept_docs.select(
-        col(id_col), shingle_array(col(cfg.column), cfg.ngram).alias("__sh__")
+    verified = jaccard_verified_edges(kept_docs, cfg, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    verified = (
-        cand.join(shingles.withColumnRenamed(id_col, "src").withColumnRenamed("__sh__", "sa"), on="src")
-        .join(shingles.withColumnRenamed(id_col, "dst").withColumnRenamed("__sh__", "sb"), on="dst")
-        .filter(jaccard(col("sa"), col("sb")) >= cfg.threshold)
-        .select("src", "dst")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
     n_edges = verified.count() if collect_metrics else (0 if verified.isEmpty() else -1)
 
     if n_edges == 0:

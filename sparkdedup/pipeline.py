@@ -104,7 +104,7 @@ def minhash_job(
         ids_df.write.parquet(ids_path, mode="overwrite")
         ids_df = spark.read.parquet(ids_path)
         m.stages["ids"] = StageInfo(time.time() - t)
-    m.rows_before = ids_df.count()
+    m.rows_before = _checked_count(ids_df, id_column)
 
     # --- stage: signatures -> kept ids (length filter) + edges
     t = time.time()
@@ -199,8 +199,25 @@ def _stage_ids(
         with_doc_id(df, id_column).write.parquet(ids_path, mode="overwrite")
         m.stages["ids"] = StageInfo(time.time() - t)
     ids_df = spark.read.parquet(ids_path)
-    m.rows_before = ids_df.count()
+    m.rows_before = _checked_count(ids_df, id_column)
     return ids_df
+
+
+def _checked_count(ids_df: DataFrame, id_column: Optional[str]) -> int:
+    """Row count; for derived ids (string keys -> xxhash64) also assert
+    uniqueness in the same aggregation — a 64-bit collision would
+    silently merge two docs and drop one, so fail loudly instead."""
+    if id_column is None:
+        return ids_df.count()
+    stats = ids_df.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct(F.col(DOC_ID)).alias("d")
+    ).first()
+    if stats["n"] != stats["d"]:
+        raise ValueError(
+            f"id column {id_column!r} maps to {stats['n'] - stats['d']} colliding "
+            f"__id__ values (hash collision or duplicate keys); use a distinct key"
+        )
+    return int(stats["n"])
 
 
 def _finalize(
@@ -317,6 +334,142 @@ def substring_job(
     t = time.time()
     kept, _path = apply_substring_splice(
         ids_df, dup_keys, cfg, DOC_ID, n_dup=m.stages["dup_keys"].rows
+    )
+    return _finalize(spark, kept, output_path, m, metrics_path, t)
+
+
+def jaccard_job(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    work_dir: str,
+    cfg: MinHashConfig = MinHashConfig(),
+    id_column: Optional[str] = None,
+    metrics_path: Optional[str] = None,
+) -> RunMetrics:
+    """Resumable Jaccard-verified dedup: ids -> (kept ids + verified
+    edges) -> assignment -> representative write. Same stage layout as
+    minhash_job with the exact-Jaccard verification folded into the
+    edges stage."""
+    from sparkdedup.jaccard import jaccard_verified_edges
+    from sparkdedup.minhash import SIG, make_signature_udf
+
+    m = RunMetrics(mode="jaccard")
+    os.makedirs(work_dir, exist_ok=True)
+    edges_path = os.path.join(work_dir, "edges.parquet")
+    kept_ids_path = os.path.join(work_dir, "kept_ids.parquet")
+    assign_path = os.path.join(work_dir, "assignment.parquet")
+
+    ids_df = _stage_ids(spark, input_path, work_dir, id_column, m)
+
+    t = time.time()
+    if _complete(edges_path) and _complete(kept_ids_path):
+        m.stages["edges"] = StageInfo(time.time() - t, resumed=True)
+    else:
+        from pyspark import StorageLevel
+
+        sig_udf = make_signature_udf(cfg)
+        with_sig = (
+            ids_df.select(F.col(DOC_ID), F.col(cfg.column), sig_udf(F.col(cfg.column)).alias(SIG))
+            .filter(F.col(SIG).isNotNull())
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        with_sig.select(DOC_ID).write.parquet(kept_ids_path, mode="overwrite")
+        jaccard_verified_edges(with_sig, cfg, DOC_ID).write.parquet(
+            edges_path, mode="overwrite"
+        )
+        with_sig.unpersist()
+        m.stages["edges"] = StageInfo(time.time() - t)
+    edges = spark.read.parquet(edges_path)
+    m.stages["edges"].rows = edges.count()
+
+    t = time.time()
+    if _complete(assign_path):
+        m.stages["cc"] = StageInfo(time.time() - t, resumed=True)
+    else:
+        assignment, _ = connected_components(edges)
+        assignment.write.parquet(assign_path, mode="overwrite")
+        m.stages["cc"] = StageInfo(time.time() - t)
+    assignment = spark.read.parquet(assign_path)
+    m.stages["cc"].rows = assignment.count()
+
+    t = time.time()
+    kept = (
+        ids_df.join(spark.read.parquet(kept_ids_path), on=DOC_ID, how="leftsemi")
+        .join(
+            assignment.withColumnRenamed("id", DOC_ID).withColumnRenamed("component", COMPONENT),
+            on=DOC_ID,
+            how="left",
+        )
+        .filter(F.col(COMPONENT).isNull() | (F.col(COMPONENT) == F.col(DOC_ID)))
+        .drop(COMPONENT)
+    )
+    return _finalize(spark, kept, output_path, m, metrics_path, t)
+
+
+def ann_job(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    work_dir: str,
+    threshold: float = 0.9,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k0: int = 20,
+    metrics_path: Optional[str] = None,
+) -> RunMetrics:
+    """Resumable embedding near-dup dedup (reference ann_unisim mode):
+    vectors -> adaptive-k match edges over the IVF index -> assignment
+    -> representative write. A killed CC run resumes from the staged
+    edges parquet; a killed write resumes from the assignment."""
+    from sparkdedup.ann import ann_match_edges
+    from sparkdedup.config import ANNConfig
+
+    m = RunMetrics(mode="ann")
+    os.makedirs(work_dir, exist_ok=True)
+    edges_path = os.path.join(work_dir, "edges.parquet")
+    assign_path = os.path.join(work_dir, "assignment.parquet")
+
+    cfg = ANNConfig(id_column=id_column, vector_column=vector_column, threshold=threshold)
+    vectors = read_documents(spark, input_path)
+    m.rows_before = vectors.count()
+    dim = len(vectors.select(vector_column).first()[0])
+
+    t = time.time()
+    if _complete(edges_path):
+        m.stages["edges"] = StageInfo(time.time() - t, resumed=True)
+    else:
+        ann_match_edges(
+            vectors, dim, cfg, exact=False, n_centroids=n_centroids,
+            n_probe=n_probe, k0=k0,
+        ).write.parquet(edges_path, mode="overwrite")
+        m.stages["edges"] = StageInfo(time.time() - t)
+    edges = spark.read.parquet(edges_path)
+    m.stages["edges"].rows = edges.count()
+
+    t = time.time()
+    if _complete(assign_path):
+        m.stages["cc"] = StageInfo(time.time() - t, resumed=True)
+    else:
+        assignment, _ = connected_components(edges)
+        assignment.write.parquet(assign_path, mode="overwrite")
+        m.stages["cc"] = StageInfo(time.time() - t)
+    assignment = spark.read.parquet(assign_path)
+    m.stages["cc"].rows = assignment.count()
+
+    t = time.time()
+    kept = (
+        vectors.join(
+            assignment.withColumnRenamed("id", id_column).withColumnRenamed(
+                "component", COMPONENT
+            ),
+            on=id_column,
+            how="left",
+        )
+        .filter(F.col(COMPONENT).isNull() | (F.col(COMPONENT) == F.col(id_column)))
+        .drop(COMPONENT)
     )
     return _finalize(spark, kept, output_path, m, metrics_path, t)
 
