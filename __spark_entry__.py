@@ -5,7 +5,9 @@ the driver-provided tables (documents/embeddings). SQL-expressible
 operators carry an exact DuckDB oracle; hash-math pipelines
 (MinHash/SimHash — xxh32/xxh64 signatures not expressible in SQL) are
 rows-only checked here and golden-tested against the NumPy oracle in
-tests/ instead.
+tests/ instead. Approximate ANN rows (ivf/lsh) emit agreement-vs-exact
+bound checks whose exact side IS oracle-able, so a recall collapse
+fails the value hash.
 """
 
 from __future__ import annotations
@@ -32,6 +34,29 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # /root/testdata/sf*); a schema-carried constant instead of a
 # driver-side first() probe per query build
 _EMB_DIM = 64
+
+
+# --- persisted-frame bookkeeping ------------------------------------------
+# Result objects (minhash/simhash/substring/jaccard) persist pipeline
+# frames; a long-lived session running many queries (bench loop, the
+# driver) should release each once consumed. Queries register their
+# results here; callers invoke release_all() after materializing.
+_RELEASABLE: list = []
+
+
+def _track(res):
+    _RELEASABLE.append(res)
+    return res
+
+
+def release_all() -> None:
+    """Unpersist every tracked result's cached frames (idempotent)."""
+    while _RELEASABLE:
+        res = _RELEASABLE.pop()
+        try:
+            res.release()
+        except Exception:
+            pass
 
 
 # --- dedup queries -------------------------------------------------------
@@ -78,7 +103,7 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdedup.minhash import minhash_dedup
 
     df = with_doc_id(_docs(spark, sf_dir), id_column="doc_id")
-    res = minhash_dedup(df, MinHashConfig(column="text"), collect_metrics=False)
+    res = _track(minhash_dedup(df, MinHashConfig(column="text"), collect_metrics=False))
     return res.kept.select("doc_id", "lang", "source")
 
 
@@ -88,7 +113,7 @@ def q_minhash_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdedup.minhash import minhash_dedup
 
     df = with_doc_id(_docs(spark, sf_dir), id_column="doc_id")
-    res = minhash_dedup(df, MinHashConfig(column="text"), collect_metrics=False)
+    res = _track(minhash_dedup(df, MinHashConfig(column="text"), collect_metrics=False))
     return res.assignment.select(F.col("id").alias("doc_id"), "component")
 
 
@@ -98,7 +123,7 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdedup.simhash import simhash_dedup
 
     df = with_doc_id(_docs(spark, sf_dir), id_column="doc_id")
-    res = simhash_dedup(df, SimHashConfig(column="text"), collect_metrics=False)
+    res = _track(simhash_dedup(df, SimHashConfig(column="text"), collect_metrics=False))
     return res.kept.select("doc_id", "lang", "source")
 
 
@@ -110,7 +135,7 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdedup.suffix import substring_dedup
 
     df = with_doc_id(_docs(spark, sf_dir), id_column="doc_id")
-    res = substring_dedup(df, SubstringConfig(column="text", k=30), collect_metrics=False)
+    res = _track(substring_dedup(df, SubstringConfig(column="text", k=30), collect_metrics=False))
     return res.kept.select("doc_id", F.col("text").alias("deduped_text"))
 
 
@@ -157,7 +182,7 @@ def q_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdedup.jaccard import jaccard_dedup
 
     df = with_doc_id(_docs(spark, sf_dir), id_column="doc_id")
-    res = jaccard_dedup(df, MinHashConfig(column="text", threshold=0.7), collect_metrics=False)
+    res = _track(jaccard_dedup(df, MinHashConfig(column="text", threshold=0.7), collect_metrics=False))
     return res.kept.select("doc_id", "lang")
 
 
@@ -201,8 +226,10 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(embs, _EMB_DIM, ANNConfig(threshold=0.35), exact=True)
 
 
-def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # LSH-bucketed scale path (approximate candidate gen, exact verify)
+def q_embedding_near_dup_lsh_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LSH-bucketed scale path (approximate candidate gen, exact verify);
+    # the raw pair list — bench measures this, the driver row below
+    # wraps it in an oracle-checkable recall bound
     from sparkdedup.ann import near_dup_pairs
     from sparkdedup.config import ANNConfig
 
@@ -212,15 +239,62 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# approximate-vs-exact bounds the driver rows assert Spark-side; the
+# DuckDB oracle pins the exact-side numbers and the constant-true
+# bound, so a recall/agreement collapse hash-mismatches the row
+# (VERDICT r2 #6: converts rows-only ANN rows to checked)
+_LSH_MIN_RECALL = 0.85
+# aggregate recall@5 over the 10 probe queries; measured 0.74-0.80
+# across sf0.001/0.01/0.1 (per-query minima dip to 1/5 on the
+# near-random testdata embeddings, so the bound is aggregate)
+_IVF_TOPK_MIN_RECALL = 0.6
+_IVF_DEDUP_MIN_AGREEMENT = 0.90
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE row: (n_exact_pairs, recall_ok). n_exact_pairs is value-checked
+    # against DuckDB's all-pairs count; recall_ok asserts the LSH pair
+    # list (a subset of the exact list by construction — candidates are
+    # cosine-verified) recovers >= _LSH_MIN_RECALL of it.
+    from sparkdedup.ann import near_dup_pairs
+    from sparkdedup.config import ANNConfig
+
+    embs = _embs(spark, sf_dir)
+    exact = near_dup_pairs(embs, _EMB_DIM, ANNConfig(threshold=0.35), exact=True)
+    lsh = q_embedding_near_dup_lsh_raw(spark, sf_dir)
+    j = (
+        exact.select("id_a", "id_b", F.lit(1).alias("e"))
+        .join(lsh.select("id_a", "id_b", F.lit(1).alias("l")), on=["id_a", "id_b"], how="left")
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_exact_pairs"),
+        (F.count("l") >= F.count(F.lit(1)) * F.lit(_LSH_MIN_RECALL)).alias("recall_ok"),
+    )
+
+
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # IVF scale path (KMeans cells + n_probe search); rows-only check —
-    # recall vs brute force is asserted in tests/test_ann.py
-    from sparkdedup.ann import ivf_topk
+    # ONE row: (n_exact, recall_ok) — n_exact (the exact top-5 result
+    # count over the 10 probe queries) is value-checked against DuckDB;
+    # recall_ok asserts aggregate IVF-vs-exact overlap >= bound
+    from sparkdedup.ann import brute_force_topk, ivf_topk
     from sparkdedup.config import ANNConfig
 
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 10)
-    return ivf_topk(embs, queries, ANNConfig(top_k=5), n_centroids=8, n_probe=4)
+    cfg = ANNConfig(top_k=5)
+    exact = brute_force_topk(embs, queries, cfg).select("query_id", "neighbor_id")
+    approx = ivf_topk(embs, queries, cfg, n_centroids=8, n_probe=4).select(
+        "query_id", "neighbor_id"
+    )
+    hits = approx.join(exact, on=["query_id", "neighbor_id"], how="leftsemi")
+    return exact.select(F.lit(1).alias("e")).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+    ).crossJoin(
+        hits.agg(F.count(F.lit(1)).alias("__h__"))
+    ).select(
+        "n_exact",
+        (F.col("__h__") >= F.col("n_exact") * F.lit(_IVF_TOPK_MIN_RECALL)).alias("recall_ok"),
+    )
 
 
 def q_ann_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,18 +309,31 @@ def q_ann_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the scale path: k-doubling saturation loop over the IVF index;
-    # approximate recall (n_probe < n_centroids) -> rows-only check,
-    # exactness vs brute force is pinned in tests/test_ann.py
+    # the scale path: k-doubling saturation loop over the IVF index
+    # (broadcast-free ivf_search). ONE row: (n_exact_kept,
+    # agreement_ok) — n_exact_kept is value-checked against DuckDB's
+    # recursive-CTE clustering; agreement_ok asserts set-Jaccard of the
+    # IVF kept set vs the exact kept set >= bound.
     from sparkdedup.ann import ann_dedup
     from sparkdedup.config import ANNConfig
 
     embs = _embs(spark, sf_dir)
-    res = ann_dedup(
+    exact = ann_dedup(embs, _EMB_DIM, ANNConfig(threshold=0.35), exact=True, collect_metrics=False)
+    ivf = ann_dedup(
         embs, _EMB_DIM, ANNConfig(threshold=0.35), exact=False,
         n_centroids=8, n_probe=4, collect_metrics=False,
     )
-    return res.kept.select("vec_id")
+    j = (
+        exact.kept.select("vec_id", F.lit(1).alias("e"))
+        .join(ivf.kept.select("vec_id", F.lit(1).alias("i")), on="vec_id", how="full")
+    )
+    return j.agg(
+        F.count("e").alias("n_exact_kept"),
+        (
+            F.count(F.when(F.col("e").isNotNull() & F.col("i").isNotNull(), 1))
+            >= F.count(F.lit(1)) * F.lit(_IVF_DEDUP_MIN_AGREEMENT)
+        ).alias("agreement_ok"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -417,6 +504,47 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        """,
+        # approximate-path bound checks: DuckDB pins the EXACT-side
+        # value (pair/kept counts, query-id set) plus the constant-true
+        # bound; the Spark row computes the approximate result and its
+        # agreement vs exact, so a recall collapse fails the value hash
+        "embedding_near_dup_lsh": """
+            SELECT count(*) AS n_exact_pairs, true AS recall_ok
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        """,
+        "ann_topk_ivf": """
+            WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS s
+                FROM q JOIN embeddings e ON e.vec_id != q.query_id
+            ),
+            ranked AS (
+                SELECT query_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+                FROM scored
+            )
+            SELECT count(*) AS n_exact, true AS recall_ok
+            FROM ranked WHERE rank <= 5
+        """,
+        "ann_dedup_ivf": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS src, b.vec_id AS dst
+                FROM embeddings a JOIN embeddings b ON a.vec_id > b.vec_id
+                WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+            ),
+            und AS (SELECT src, dst FROM pairs UNION SELECT dst AS src, src AS dst FROM pairs),
+            reach AS (
+                SELECT src AS a, dst AS b FROM und
+                UNION
+                SELECT r.a, u.dst AS b FROM reach r JOIN und u ON r.b = u.src WHERE u.dst != r.a
+            ),
+            comp AS (SELECT a AS vec_id, min(b) AS mn FROM reach GROUP BY a)
+            SELECT count(*) AS n_exact_kept, true AS agreement_ok
+            FROM embeddings e LEFT JOIN comp ON e.vec_id = comp.vec_id
+            WHERE comp.vec_id IS NULL OR comp.mn > e.vec_id
         """,
         "ann_dedup": """
             WITH RECURSIVE pairs AS (

@@ -46,6 +46,9 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qmap = entrymod.queries()
+    # embedding_near_dup_lsh's driver row is now a recall CHECK (it also
+    # computes the O(N^2) exact side); bench measures the raw LSH path
+    qmap["embedding_near_dup_lsh"] = entrymod.q_embedding_near_dup_lsh_raw
     per_query: dict[str, float] = {}
     rows: dict[str, int] = {}
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
@@ -57,6 +60,9 @@ def main() -> None:
             rows[name] = df.count()
             dt = round(time.time() - t0, 3)
             per_query[name] = min(per_query.get(name, dt), dt)
+            # unpersist this query's pipeline caches so the 10-query
+            # loop doesn't accumulate persisted frames (VERDICT r2 #8)
+            entrymod.release_all()
     total = round(sum(per_query.values()), 3)
 
     out = {

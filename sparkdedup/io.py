@@ -72,13 +72,12 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    try:
-        # file scans: enough input files => enough splits, no RDD
-        # conversion needed (inputFiles() is plan-metadata only)
-        if len(df.inputFiles()) >= target:
-            return df
-    except Exception:
-        pass
+    # NOTE: a file-count shortcut (len(inputFiles()) >= target) is NOT a
+    # valid proxy — FileSourceScan bin-packs small files by
+    # maxPartitionBytes/openCostInBytes, so many tiny files can still
+    # collapse to a few scan partitions and serialize the signature
+    # UDFs. getNumPartitions() reflects the actual packing; it costs one
+    # plan-to-RDD conversion, paid once per pipeline.
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -288,7 +288,14 @@ def minhash_dedup(
     # storage_level=None: recompute signatures per consumer instead of
     # caching — wins when the cached (text + signatures) working set
     # would spill to disk (cache serialization + spill I/O + GC can cost
-    # more than one extra CPU pass at high core counts)
+    # more than one extra CPU pass at high core counts).
+    # SHARPER CONTRACT on this path: ``df``'s lineage must be
+    # deterministic end-to-end (a real scan/table plus a stable id
+    # column). An UNPERSISTED monotonically_increasing_id lineage is
+    # corrupting here: the edge pass and the kept join would each
+    # recompute ids independently and can disagree. Callers that
+    # synthesize ids MUST materialize them (pipeline._stage_ids writes
+    # an ids parquet) before choosing storage_level=None.
     if storage_level is not None:
         with_sig = with_sig.persist(storage_level)
     kept_docs = with_sig.filter(F.col(SIG).isNotNull())

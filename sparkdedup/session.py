@@ -19,8 +19,10 @@ def get_spark(
     master: Optional[str] = None,
     shuffle_partitions: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
+    ui: bool = False,
 ) -> SparkSession:
     builder = SparkSession.builder.appName(app_name)
+    builder = builder.config("spark.ui.enabled", "true" if ui else "false")
     if master:
         builder = builder.master(master)
     cores = os.environ.get("SPARK_GRAFT_CPUS")
