@@ -251,20 +251,20 @@ def near_dup_candidate_pairs(v: DataFrame, dim: int, cfg: ANNConfig) -> DataFram
 
     ``v`` is (id, v) with v unit-normalized.
     """
-    sig = v.withColumn("__vsig__", F.xxhash64("v"))
-    reps = sig.groupBy("__vsig__").agg(
-        F.min("id").alias("rep"), F.count(F.lit(1)).alias("__cnt__")
+    from pyspark.sql import Window
+
+    # one hash-partition shuffle assigns every row its min-id rep; the
+    # star/distinct branches share the exchange (ReuseExchange) — this
+    # replaces a groupBy plus two shuffle joins of the vector-carrying
+    # frame. 2^64-spread keys, so the window partitions are tiny (dup
+    # multiplicity only) — no skew from the window itself.
+    tagged = v.withColumn("__vsig__", F.xxhash64("v")).withColumn(
+        "rep", F.min("id").over(Window.partitionBy("__vsig__"))
     )
-    star = (
-        sig.join(reps.filter(F.col("__cnt__") > 1).drop("__cnt__"), on="__vsig__")
-        .filter(F.col("id") != F.col("rep"))
-        .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"))
+    star = tagged.filter(F.col("id") != F.col("rep")).select(
+        F.col("rep").alias("id_a"), F.col("id").alias("id_b")
     )
-    distinct_v = (
-        sig.join(reps.select("__vsig__", "rep"), on="__vsig__")
-        .filter(F.col("id") == F.col("rep"))
-        .select("id", "v")
-    )
+    distinct_v = tagged.filter(F.col("id") == F.col("rep")).select("id", "v")
     udf = make_bucket_udf(dim, cfg)
     b = distinct_v.select(
         "id", F.posexplode(udf(F.col("v"))).alias("table", "bucket")
