@@ -21,6 +21,13 @@ def get_spark(
     checkpoint_dir: Optional[str] = None,
     ui: bool = False,
 ) -> SparkSession:
+    # Python workers fork from the JVM started by this process and
+    # inherit its environment: make pyarrow pick the glibc-backed
+    # system pool at import so Arrow IPC buffers (allocated before any
+    # UDF body runs) stay on the malloc heap instead of mimalloc arenas
+    # that are munmapped (and hence re-faulted) every batch — see
+    # sparkdedup.tuning.tune_worker_memory for the in-body half.
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
     builder = SparkSession.builder.appName(app_name)
     builder = builder.config("spark.ui.enabled", "true" if ui else "false")
     if master:

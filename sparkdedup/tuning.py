@@ -34,3 +34,16 @@ def tune_worker_memory() -> None:
         libc.mallopt(ctypes.c_int(_M_TRIM_THRESHOLD), one_gib)
     except Exception:
         pass
+    try:
+        # pyarrow's default pool (mimalloc/jemalloc) mmaps its arenas
+        # and returns them to the OS between batches, so every Arrow
+        # IPC batch re-faults fresh pages — on hosts that service
+        # first-touch faults slowly (overcommitted VMs) the UDF stages
+        # block off-CPU far longer than they compute. The system pool
+        # routes through glibc malloc, which the mallopt above keeps on
+        # the reused heap. Harmless everywhere else.
+        import pyarrow as pa
+
+        pa.set_memory_pool(pa.system_memory_pool())
+    except Exception:
+        pass
