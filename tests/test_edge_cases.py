@@ -95,3 +95,17 @@ def test_release_unpersists_pipeline_caches(spark):
     )
     res.release()
     assert res.cached == []
+
+
+def test_tune_worker_memory_installs_system_arrow_pool():
+    """UDF bodies call tune_worker_memory() first; after it runs, Arrow
+    allocations must come from the glibc-backed system pool (the
+    default mimalloc pool munmaps arenas between batches, which
+    re-faults pages every batch on slow-first-touch hosts)."""
+    import pyarrow as pa
+
+    from sparkdedup import tuning
+
+    tuning._done = False
+    tuning.tune_worker_memory()
+    assert pa.default_memory_pool().backend_name == "system"
