@@ -52,6 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--base_hash", default="xxh32", choices=["xxh32", "sha1"],
         help="base shingle hash (sha1 = reference non-Spark default)",
     )
+    mh.add_argument("--seed", type=int, default=42)
 
     sh = sub.add_parser("simhash")
     common(sh)
@@ -59,6 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
     sh.add_argument("--f", type=int, default=64, choices=[64, 128], help="fingerprint bits")
     sh.add_argument("--bit_diff", type=int, default=3)
     sh.add_argument("--num_bucket", type=int, default=4)
+    sh.add_argument("--min_length", type=int, default=5)
+    sh.add_argument("--seed", type=int, default=42)
 
     for name in ("exact", "bloom"):
         sp = sub.add_parser(name)
@@ -125,6 +128,7 @@ def main(argv=None) -> int:
             r=args.r,
             hash_bits=args.hash_bits,
             base_hash=args.base_hash,
+            seed=args.seed,
         )
         m = minhash_job(
             spark, args.input, args.output, args.work_dir, cfg, args.index, args.metrics
@@ -138,6 +142,7 @@ def main(argv=None) -> int:
         cfg = SimHashConfig(
             column=args.column, ngram=args.ngram_size, f=args.f,
             bit_diff=args.bit_diff, num_bucket=args.num_bucket,
+            min_length=args.min_length, seed=args.seed,
         )
         m = simhash_job(spark, args.input, args.output, args.work_dir, cfg, args.index, args.metrics)
         print(json.dumps({"mode": "simhash", "before": m.rows_before, "after": m.rows_after, "seconds": round(time.time() - t0, 2)}))
