@@ -271,13 +271,21 @@ def test_checked_count_detects_id_collisions(spark, tmp_path):
 
 def test_entry_release_all_unpersists(spark):
     """VERDICT r2 #8: running entry queries then release_all() must not
-    leave persisted frames behind."""
+    leave the pipelines' persisted frames behind. Asserted on the
+    tracked frames' storage levels, not getPersistentRDDs() counts —
+    the global registry also holds localCheckpoint RDDs whose cleanup
+    is GC-timing-dependent."""
     import __spark_entry__ as entrymod
 
-    base = len(spark.sparkContext._jsc.getPersistentRDDs())
     q = entrymod.queries()
     q["minhash_dedup"](spark, "/root/testdata/sf0.001").count()
     q["substring_dedup"](spark, "/root/testdata/sf0.001").count()
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) > base
+    tracked = list(entrymod._RELEASABLE)
+    assert tracked, "entry queries must register their results"
+    frames = [c for res in tracked for c in res.cached]
+    assert any(f.storageLevel.useMemory or f.storageLevel.useDisk for f in frames)
     entrymod.release_all()
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= base
+    assert entrymod._RELEASABLE == []
+    assert all(
+        not (f.storageLevel.useMemory or f.storageLevel.useDisk) for f in frames
+    )
