@@ -86,7 +86,7 @@ def build_parser() -> argparse.ArgumentParser:
     jc.add_argument("--num_perm", type=int, default=250)
 
     an = sub.add_parser("ann")
-    an.add_argument("--input", "-i", required=True, help="embeddings parquet dir/table")
+    an.add_argument("--input", "-i", required=True, help="embeddings (or, with --encode_text, documents) parquet dir/table")
     an.add_argument("--output", "-o", required=True)
     an.add_argument("--id_column", default="vec_id")
     an.add_argument("--vector_column", default="embedding")
@@ -96,6 +96,14 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--k0", type=int, default=20)
     an.add_argument("--metrics", default=None)
     an.add_argument("--work_dir", default="./sparkdedup_work")
+    an.add_argument(
+        "--encode_text", default=None, metavar="COLUMN",
+        help="treat --input as a document table and feature-hash-encode "
+        "this text column first (staged; see sparkdedup.encode)",
+    )
+    an.add_argument("--encode_dim", type=int, default=256)
+    an.add_argument("--encode_ngram", type=int, default=3)
+    an.add_argument("--index", default=None, help="doc id column when encoding (else synthesized)")
 
     return p
 
@@ -172,9 +180,12 @@ def main(argv=None) -> int:
 
         m = ann_job(
             spark, args.input, args.output, args.work_dir,
-            threshold=args.threshold, id_column=args.id_column,
+            threshold=args.threshold,
+            id_column=args.index if args.encode_text else args.id_column,
             vector_column=args.vector_column, n_centroids=args.n_centroids,
             n_probe=args.n_probe, k0=args.k0, metrics_path=args.metrics,
+            text_column=args.encode_text, encode_dim=args.encode_dim,
+            encode_ngram=args.encode_ngram,
         )
         print(json.dumps({"mode": "ann", "before": m.rows_before, "after": m.rows_after, "seconds": round(time.time() - t0, 2)}))
         return 0

@@ -419,11 +419,22 @@ def ann_job(
     n_probe: int = 4,
     k0: int = 20,
     metrics_path: Optional[str] = None,
+    text_column: Optional[str] = None,
+    encode_dim: int = 256,
+    encode_ngram: int = 3,
 ) -> RunMetrics:
     """Resumable embedding near-dup dedup (reference ann_unisim mode):
-    vectors -> adaptive-k match edges over the IVF index -> assignment
-    -> representative write. A killed CC run resumes from the staged
-    edges parquet; a killed write resumes from the assignment."""
+    [encode ->] vectors -> adaptive-k match edges over the IVF index ->
+    assignment -> representative write. A killed CC run resumes from
+    the staged edges parquet; a killed write resumes from the
+    assignment.
+
+    ``text_column`` switches the input to a DOCUMENT table: docs are
+    encoded to `encode_dim`-dim feature-hash embeddings
+    (sparkdedup.encode — the reference embeds with an ONNX model,
+    ann_unisim.py:75-99; the encoder is the pluggable part) and the
+    encoded vectors are STAGED to work_dir parquet, so the expensive
+    encode pass is never repeated on resume."""
     from sparkdedup.ann import ann_match_edges
     from sparkdedup.config import ANNConfig
 
@@ -432,9 +443,37 @@ def ann_job(
     edges_path = os.path.join(work_dir, "edges.parquet")
     assign_path = os.path.join(work_dir, "assignment.parquet")
 
+    if text_column is not None:
+        from sparkdedup.encode import encode_documents
+
+        # the staged frame carries ALL doc columns + the embedding, so
+        # (a) a synthesized id is assigned exactly once (mii is not
+        # stable across re-reads) and (b) the final output is the
+        # surviving DOCUMENTS, as in the reference's ann_unisim mode.
+        # Docs with no shingles (below min_length) encode to NULL and
+        # are dropped, mirroring the signature pipelines' length filter.
+        vectors_path = os.path.join(work_dir, "vectors.parquet")
+        t = time.time()
+        if _complete(vectors_path):
+            m.stages["encode"] = StageInfo(time.time() - t, resumed=True)
+        else:
+            docs = with_doc_id(read_documents(spark, input_path), id_column or None)
+            encoded = encode_documents(
+                docs, column=text_column, output_column=vector_column,
+                dim=encode_dim, ngram=encode_ngram,
+            ).filter(F.col(vector_column).isNotNull())
+            encoded.withColumnRenamed(DOC_ID, "vec_id").write.parquet(
+                vectors_path, mode="overwrite"
+            )
+            m.stages["encode"] = StageInfo(time.time() - t)
+        id_column = "vec_id"
+        vectors = spark.read.parquet(vectors_path)
+        m.stages["encode"].rows = vectors.count()
+        m.rows_before = m.stages["encode"].rows
+    else:
+        vectors = read_documents(spark, input_path)
+        m.rows_before = vectors.count()
     cfg = ANNConfig(id_column=id_column, vector_column=vector_column, threshold=threshold)
-    vectors = read_documents(spark, input_path)
-    m.rows_before = vectors.count()
     dim = len(vectors.select(vector_column).first()[0])
 
     t = time.time()
@@ -471,6 +510,8 @@ def ann_job(
         .filter(F.col(COMPONENT).isNull() | (F.col(COMPONENT) == F.col(id_column)))
         .drop(COMPONENT)
     )
+    if text_column is not None:
+        kept = kept.drop(vector_column)  # output = surviving documents
     return _finalize(spark, kept, output_path, m, metrics_path, t)
 
 
