@@ -97,7 +97,11 @@ def q_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_minhash_dedup_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the raw MinHash-LSH pipeline output — bench times this and entry()
+    # smoke-checks it; the driver row below wraps it in an
+    # oracle-checkable agreement bound (hash-math signatures themselves
+    # are not SQL-expressible; golden-pinned in tests/ instead)
     from sparkdedup.config import MinHashConfig
     from sparkdedup.io import with_doc_id
     from sparkdedup.minhash import minhash_dedup
@@ -107,17 +111,7 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.kept.select("doc_id", "lang", "source")
 
 
-def q_minhash_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sparkdedup.config import MinHashConfig
-    from sparkdedup.io import with_doc_id
-    from sparkdedup.minhash import minhash_dedup
-
-    df = with_doc_id(_docs(spark, sf_dir), id_column="doc_id")
-    res = _track(minhash_dedup(df, MinHashConfig(column="text"), collect_metrics=False))
-    return res.assignment.select(F.col("id").alias("doc_id"), "component")
-
-
-def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_simhash_dedup_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdedup.config import SimHashConfig
     from sparkdedup.io import with_doc_id
     from sparkdedup.simhash import simhash_dedup
@@ -125,6 +119,110 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = with_doc_id(_docs(spark, sf_dir), id_column="doc_id")
     res = _track(simhash_dedup(df, SimHashConfig(column="text"), collect_metrics=False))
     return res.kept.select("doc_id", "lang", "source")
+
+
+def _jaccard_truth(spark: SparkSession, sf_dir: str):
+    """(kept, assignment) of the EXACT word-5-gram Jaccard>=0.7
+    threshold clustering — the semantic target MinHash-LSH/SimHash
+    approximate, and fully SQL-expressible (the jaccard_dedup oracle's
+    recursive CTE). O(N^2) all-pairs: driver-SF validation only, never
+    a production path.
+
+    kept: (doc_id) survivors (min-id per cluster + singletons);
+    assignment: (doc_id, component) min-id labels for clustered docs."""
+    from sparkdedup.cc import connected_components
+    from sparkdedup.jaccard import jaccard, shingle_array
+
+    docs = _docs(spark, sf_dir)
+    filt = docs.filter(F.size(F.split(F.lower(F.col("text")), r"(?U)\W")) >= 5)
+    sh = filt.select("doc_id", shingle_array(F.col("text"), 5).alias("s"))
+    edges = (
+        sh.alias("a")
+        .join(sh.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(jaccard(F.col("a.s"), F.col("b.s")) >= 0.7)
+        .select(F.col("b.doc_id").alias("src"), F.col("a.doc_id").alias("dst"))
+    )
+    assignment, _ = connected_components(edges)
+    assignment = assignment.select(F.col("id").alias("doc_id"), "component")
+    kept = (
+        filt.select("doc_id")
+        .join(assignment, on="doc_id", how="left")
+        .filter(F.col("component").isNull() | (F.col("component") == F.col("doc_id")))
+        .select("doc_id")
+    )
+    return kept, assignment
+
+
+# agreement bounds for the hash-math pipelines vs the exact-Jaccard
+# truth (VERDICT r3 #6: converts the last rows-only rows to checked).
+# MinHash-LSH at (b,r)=optimal_param(0.7, 250) reproduces the truth
+# exactly on the driver corpora (golden recall/precision 1.0) — the
+# bound is slack for FP-tie robustness only. SimHash is a DIFFERENT
+# similarity model (Hamming<=3 on 64-bit fingerprints); near-dups in
+# the driver tables are near-identical, where the two models agree —
+# measured kept-set Jaccard >=0.97 across sf0.001/0.01/0.1.
+_MINHASH_MIN_AGREEMENT = 0.98
+_SIMHASH_MIN_AGREEMENT = 0.90
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE row: (n_true_kept, agreement_ok). n_true_kept (exact-Jaccard
+    # clustering survivors) is value-checked against DuckDB's recursive
+    # CTE; agreement_ok asserts kept-set Jaccard(minhash, truth) >= bound
+    mh = q_minhash_dedup_raw(spark, sf_dir).select("doc_id")
+    truth, _ = _jaccard_truth(spark, sf_dir)
+    j = (
+        truth.select("doc_id", F.lit(1).alias("t"))
+        .join(mh.select("doc_id", F.lit(1).alias("m")), on="doc_id", how="full")
+    )
+    return j.agg(
+        F.count("t").alias("n_true_kept"),
+        (
+            F.count(F.when(F.col("t").isNotNull() & F.col("m").isNotNull(), 1))
+            >= F.count(F.lit(1)) * F.lit(_MINHASH_MIN_AGREEMENT)
+        ).alias("agreement_ok"),
+    )
+
+
+def q_minhash_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE row: (n_true_assigned, agreement_ok) — component labels
+    # (min-id per cluster, both sides) must match on >= bound of the
+    # union of assigned docs
+    from sparkdedup.config import MinHashConfig
+    from sparkdedup.io import with_doc_id
+    from sparkdedup.minhash import minhash_dedup
+
+    df = with_doc_id(_docs(spark, sf_dir), id_column="doc_id")
+    res = _track(minhash_dedup(df, MinHashConfig(column="text"), collect_metrics=False))
+    mh = res.assignment.select(F.col("id").alias("doc_id"), F.col("component").alias("mc"))
+    _, truth = _jaccard_truth(spark, sf_dir)
+    j = truth.withColumnRenamed("component", "tc").join(mh, on="doc_id", how="full")
+    return j.agg(
+        F.count("tc").alias("n_true_assigned"),
+        (
+            F.count(F.when(F.col("tc") == F.col("mc"), 1))
+            >= F.count(F.lit(1)) * F.lit(_MINHASH_MIN_AGREEMENT)
+        ).alias("agreement_ok"),
+    )
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE row: (n_true_kept, agreement_ok) — SimHash kept set vs the
+    # exact-Jaccard truth; checks semantic dedup quality (the bit-level
+    # fingerprint math is golden-pinned in tests/test_simhash.py)
+    sh = q_simhash_dedup_raw(spark, sf_dir).select("doc_id")
+    truth, _ = _jaccard_truth(spark, sf_dir)
+    j = (
+        truth.select("doc_id", F.lit(1).alias("t"))
+        .join(sh.select("doc_id", F.lit(1).alias("s")), on="doc_id", how="full")
+    )
+    return j.agg(
+        F.count("t").alias("n_true_kept"),
+        (
+            F.count(F.when(F.col("t").isNotNull() & F.col("s").isNotNull(), 1))
+            >= F.count(F.lit(1)) * F.lit(_SIMHASH_MIN_AGREEMENT)
+        ).alias("agreement_ok"),
+    )
 
 
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,7 +436,7 @@ def q_ann_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: MinHash-LSH dedup of sf0.001 documents."""
-    return q_minhash_dedup(spark, "/root/testdata/sf0.001")
+    return q_minhash_dedup_raw(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -389,8 +487,61 @@ _LANG_GUESS_EXPR = f"""
 """
 
 
+# exact word-5-gram Jaccard>=0.7 threshold clustering over >=5-token
+# docs — the DuckDB-expressible truth the minhash/simhash agreement
+# rows compare against (same CTE family as the jaccard_dedup oracle)
+_JACCARD_TRUTH_CTE = """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\W') AS tk
+        FROM documents
+        WHERE len(string_split_regex(lower(text), '\\W')) >= 5
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(CASE
+                 WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                 ELSE list_transform(range(1, len(tk) - 5 + 2),
+                                     i -> array_to_string(tk[i:i+4], ' '))
+               END) AS s
+        FROM toks
+    ),
+    pairs AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM sh a JOIN sh b ON a.doc_id > b.doc_id
+        WHERE CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) = 0 THEN 1.0
+              ELSE len(list_intersect(a.s, b.s)) * 1.0
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) END >= 0.7
+    ),
+    und AS (SELECT src, dst FROM pairs UNION SELECT dst AS src, src AS dst FROM pairs),
+    reach AS (
+        SELECT src AS a, dst AS b FROM und
+        UNION
+        SELECT r.a, u.dst AS b FROM reach r JOIN und u ON r.b = u.src WHERE u.dst != r.a
+    ),
+    comp AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY a)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        # agreement rows for the hash-math pipelines (see the query
+        # docstrings): DuckDB pins the exact-Jaccard-truth count and the
+        # constant-true bound; the Spark row computes the approximate
+        # pipeline and its agreement, so a quality collapse fails the
+        # value hash
+        "minhash_dedup": _JACCARD_TRUTH_CTE + """
+            SELECT count(*) AS n_true_kept, true AS agreement_ok
+            FROM sh LEFT JOIN comp ON sh.doc_id = comp.doc_id
+            WHERE comp.doc_id IS NULL OR comp.mn > sh.doc_id
+        """,
+        "minhash_assignment": _JACCARD_TRUTH_CTE + """
+            SELECT count(*) AS n_true_assigned, true AS agreement_ok FROM comp
+        """,
+        "simhash_dedup": _JACCARD_TRUTH_CTE + """
+            SELECT count(*) AS n_true_kept, true AS agreement_ok
+            FROM sh LEFT JOIN comp ON sh.doc_id = comp.doc_id
+            WHERE comp.doc_id IS NULL OR comp.mn > sh.doc_id
+        """,
         "exact_dedup": """
             SELECT d.doc_id, d.text, d.lang, d.source
             FROM documents d

@@ -46,9 +46,11 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qmap = entrymod.queries()
-    # embedding_near_dup_lsh's driver row is now a recall CHECK (it also
-    # computes the O(N^2) exact side); bench measures the raw LSH path
+    # agreement-check driver rows also compute an O(N^2) exact side;
+    # bench measures the raw pipelines those rows wrap
     qmap["embedding_near_dup_lsh"] = entrymod.q_embedding_near_dup_lsh_raw
+    qmap["minhash_dedup"] = entrymod.q_minhash_dedup_raw
+    qmap["simhash_dedup"] = entrymod.q_simhash_dedup_raw
     per_query: dict[str, float] = {}
     rows: dict[str, int] = {}
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()

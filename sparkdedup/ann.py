@@ -15,6 +15,7 @@ embedding column (array<float>):
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -23,13 +24,17 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
 
 from sparkdedup.config import ANNConfig
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<float/double> columns (JVM-side)."""
+    """Cosine similarity of two array<float/double> columns (JVM-side).
+
+    Interpreted higher-order expression — fine for a handful of pairs;
+    hot paths (ivf_search scoring, near-dup verification) use the
+    Arrow-batched ``pair_dot`` UDF instead."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
@@ -38,6 +43,33 @@ def cosine(a: Column, b: Column) -> Column:
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _stack(vs: pd.Series) -> np.ndarray:
+    """(batch, dim) float64 matrix from an Arrow array<double> series."""
+    return np.asarray([np.asarray(x, dtype=np.float64) for x in vs])
+
+
+@pandas_udf(DoubleType())
+def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Batched dot product of two aligned array columns: one vectorized
+    (batch, dim) row-wise product-sum per Arrow batch instead of ~dim
+    interpreted Catalyst lambda evaluations per row — the hot-path
+    scorer for candidate verification and IVF search."""
+    from sparkdedup.tuning import tune_worker_memory
+
+    tune_worker_memory()
+    ma, mb = _stack(a), _stack(b)
+    return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+
+def auto_n_centroids(n_rows: int) -> int:
+    """IVF cell count ~ sqrt(N) (classic IVF balance: probe cost
+    n_probe/n_centroids*N per query is minimized against centroid-scan
+    cost at sqrt(N)); floor of 16 so tiny corpora still shard."""
+    if n_rows <= 0:
+        raise ValueError("ann: vectors input is empty")
+    return max(2, min(n_rows, max(16, int(math.sqrt(n_rows)))))
 
 
 def unit_vector(a: Column) -> Column:
@@ -70,7 +102,7 @@ def brute_force_topk(
     scored = (
         v.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", dot(F.col("qv"), F.col("nv")))
+        .withColumn("sim", pair_dot(F.col("qv"), F.col("nv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -131,10 +163,18 @@ class IVFIndex:
 
 
 def build_ivf_index(
-    vectors: DataFrame, cfg: ANNConfig = ANNConfig(), n_centroids: int = 16
+    vectors: DataFrame,
+    cfg: ANNConfig = ANNConfig(),
+    n_centroids: Optional[int] = None,
+    n_rows: Optional[int] = None,
 ) -> IVFIndex:
     """Fit KMeans cells once; reusable across searches (the adaptive-k
-    dedup loop re-queries the same index with growing k)."""
+    dedup loop re-queries the same index with growing k).
+
+    ``n_centroids=None`` (the default) derives ~sqrt(N) cells from a
+    corpus count (pass ``n_rows`` if already known to skip the count):
+    a fixed cell count makes per-query scored candidates
+    ~ n_probe/n_centroids * N — quadratic in practice at large N."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -142,6 +182,8 @@ def build_ivf_index(
     v = vectors.select(
         F.col(idc).alias("neighbor_id"), unit_vector(F.col(vc).cast("array<double>")).alias("nv")
     )
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(n_rows if n_rows is not None else v.count())
     ml = v.withColumn("features", array_to_vector(F.col("nv")))
     model = KMeans(k=n_centroids, seed=cfg.seed, featuresCol="features").fit(ml)
     assigned = (
@@ -151,6 +193,31 @@ def build_ivf_index(
     )
     centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]
     return IVFIndex(assigned, centroids, cfg)
+
+
+def _make_probe_udf(centroids: np.ndarray, n_probe: int):
+    """UDF: unit query vector -> array<int> of its n_probe nearest
+    cells (by dot product, descending; full argsort when probing every
+    cell so ties keep a deterministic order)."""
+    cmat = centroids.T  # (dim, k)
+    k = centroids.shape[0]
+    take = min(n_probe, k)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe(qs: pd.Series) -> pd.Series:
+        from sparkdedup.tuning import tune_worker_memory
+
+        tune_worker_memory()
+        sims = _stack(qs) @ cmat  # (batch, k)
+        if take >= k:
+            cells = np.argsort(-sims, axis=1)
+        else:
+            part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            order = np.argsort(-np.take_along_axis(sims, part, axis=1), axis=1)
+            cells = np.take_along_axis(part, order, axis=1)
+        return pd.Series(list(cells.astype(np.int32)))
+
+    return probe
 
 
 def ivf_search(
@@ -169,31 +236,27 @@ def ivf_search(
     When the query side is unbounded — the dedup loop queries the whole
     corpus — it MUST be False: the join shuffles both sides on ``cell``
     instead, and AQE still broadcasts at runtime if the side turns out
-    small. At real scale pick n_centroids ~ sqrt(N) so ``cell`` is a
-    fine-grained shuffle key (AQE skew-split covers hot cells).
+    small. With n_centroids ~ sqrt(N) (the build_ivf_index default)
+    ``cell`` is a fine-grained shuffle key (AQE skew-split covers hot
+    cells).
+
+    Cell probing is one (batch, dim) x (dim, n_centroids) matmul per
+    Arrow batch (centroid matrix shipped in the UDF closure — sqrt(N)
+    * dim doubles, ~16 MB at N=1e9/dim=64) and emits exactly the
+    n_probe nearest cell ids per query: O(Q*n_probe) probe rows, never
+    a Q x n_centroids explode. Scoring is the batched ``pair_dot``.
     """
     from pyspark.sql import Window
 
-    cent_df = F.array(*[
-        F.struct(F.lit(i).alias("cell"), F.array(*[F.lit(float(x)) for x in c]).alias("cv"))
-        for i, c in enumerate(index.centroids)
-    ])
-    probed = (
-        queries.withColumn("cents", cent_df)
-        .select("query_id", "qv", F.explode("cents").alias("c"))
-        .withColumn("cdot", dot(F.col("qv"), F.col("c.cv")))
-        .withColumn(
-            "crank",
-            F.row_number().over(Window.partitionBy("query_id").orderBy(F.desc("cdot"))),
-        )
-        .filter(F.col("crank") <= n_probe)
-        .select("query_id", "qv", F.col("c.cell").alias("cell"))
+    probe_udf = _make_probe_udf(np.asarray(index.centroids, dtype=np.float64), n_probe)
+    probed = queries.select(
+        "query_id", "qv", F.explode(probe_udf(F.col("qv"))).alias("cell")
     )
     probe_side = F.broadcast(probed) if broadcast_queries else probed
     scored = (
         index.assigned.join(probe_side, on="cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", dot(F.col("qv"), F.col("nv")))
+        .withColumn("sim", pair_dot(F.col("qv"), F.col("nv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -214,7 +277,7 @@ def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
     cfg: ANNConfig = ANNConfig(),
-    n_centroids: int = 16,
+    n_centroids: Optional[int] = None,
     n_probe: int = 4,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans-partition the
@@ -232,26 +295,92 @@ def ivf_topk(
     return out
 
 
-def near_dup_candidate_pairs(v: DataFrame, dim: int, cfg: ANNConfig) -> DataFrame:
+def make_refine_udf(dim: int, cfg: ANNConfig):
+    """UDF: vector -> one long key of sign bits on a FRESH hyperplane
+    set (seed offset from cfg.seed) — sub-bucketing for oversized SRP
+    buckets: mutually-similar members agree on the refine signs w.h.p.
+    and land in the same sub-bucket. Always >= 16 bits regardless of
+    the (possibly coarse) primary num_hyperplanes: the refine key's job
+    is to SPLIT a mega-bucket, so it must out-resolve the primary key."""
+    n_bits = max(16, cfg.num_hyperplanes)
+    rng = np.random.RandomState(cfg.seed ^ 0x5EED5EED)
+    planes = rng.standard_normal((dim, n_bits)).astype(np.float64)
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+
+    @pandas_udf(LongType())
+    def refine(vecs: pd.Series) -> pd.Series:
+        from sparkdedup.tuning import tune_worker_memory
+
+        tune_worker_memory()
+        bits = (_stack(vecs) @ planes) > 0
+        return pd.Series((bits * weights).sum(axis=1))
+
+    return refine
+
+
+def _bucket_self_join(b: DataFrame, keys: List[str]) -> DataFrame:
+    """(id_a, id_b) with id_a < id_b — all pairs sharing `keys`."""
+    return (
+        b.alias("x")
+        .join(b.withColumnRenamed("id", "id_b").alias("y"), on=keys)
+        .filter(F.col("x.id") < F.col("id_b"))
+        .select(F.col("x.id").alias("id_a"), "id_b")
+    )
+
+
+# probe collects at most this many oversized-bucket keys before giving
+# up on the report (the routing itself never collects bucket members)
+_MAX_PROBE_KEYS = 64
+
+
+def near_dup_candidate_pairs(
+    v: DataFrame,
+    dim: int,
+    cfg: ANNConfig,
+    n_rows: Optional[int] = None,
+    stats: Optional[dict] = None,
+) -> DataFrame:
     """SRP-LSH candidate (id_a, id_b) pairs (id_a < id_b), BOUNDED:
 
+    0. corpora no larger than cfg.max_bucket_size skip straight to the
+       plain bucket self-join — no bucket can be oversized and the
+       worst-case pair count is already <= max_bucket_size^2 (pass
+       ``n_rows`` if known to skip the count).
     1. identical vectors are collapsed to a min-id representative via a
        64-bit content hash (same pattern as simhash's fingerprint
        collapse, simhash.py:365-370) — members attach to their rep with
        one star pair each, never pairwise. A hash collision only ADDS a
        candidate; the exact cosine verify removes it.
-    2. distinct reps are SRP-bucketed; buckets up to
-       cfg.max_bucket_size pair all-vs-all, OVERSIZED buckets emit only
-       anchor-star candidates (every member vs the bucket's min-id rep)
-       — O(bucket) instead of O(bucket^2). Mega-buckets arise from
-       mutually-similar crowds, where anchor stars preserve cluster
-       connectivity; the pair LIST is therefore connectivity-preserving
-       rather than exhaustive inside oversized buckets (documented
-       trade-off of the approximate path).
+    2. distinct reps are SRP-bucketed; one tiny probe job (aggregate ->
+       limit -> collect, the simhash.py:395-440 pattern) checks for
+       buckets above cfg.max_bucket_size. None found (the common case):
+       plain self-join, zero routing stages. Otherwise buckets up to
+       the bound pair all-vs-all and OVERSIZED buckets emit
+       (a) anchor-star candidates (every member vs the bucket's min-id
+       rep — O(bucket), preserves cluster connectivity) PLUS
+       (b) sub-bucket pairs on a fresh refine-hyperplane key: mutually
+       similar members that would verify against each other but NOT
+       against a dissimilar anchor still meet inside their sub-bucket
+       (sub-buckets still above the bound recurse once more into
+       sub-anchor stars, keeping everything O(bucket * max_bucket_size)).
 
-    ``v`` is (id, v) with v unit-normalized.
+    ``v`` is (id, v) with v unit-normalized. ``stats`` (optional dict)
+    receives 'fast_path' and 'oversized_buckets' observability keys.
     """
     from pyspark.sql import Window
+
+    if stats is None:
+        stats = {}
+    udf = make_bucket_udf(dim, cfg)
+
+    if cfg.max_bucket_size is not None:
+        n = n_rows if n_rows is not None else v.count()
+        if n <= cfg.max_bucket_size:
+            stats["fast_path"] = True
+            stats["oversized_buckets"] = 0
+            b = v.select("id", F.posexplode(udf(F.col("v"))).alias("table", "bucket"))
+            return _bucket_self_join(b, ["table", "bucket"]).dropDuplicates(["id_a", "id_b"])
+    stats["fast_path"] = False
 
     # one hash-partition shuffle assigns every row its min-id rep; the
     # star/distinct branches share the exchange (ReuseExchange) — this
@@ -265,41 +394,60 @@ def near_dup_candidate_pairs(v: DataFrame, dim: int, cfg: ANNConfig) -> DataFram
         F.col("rep").alias("id_a"), F.col("id").alias("id_b")
     )
     distinct_v = tagged.filter(F.col("id") == F.col("rep")).select("id", "v")
-    udf = make_bucket_udf(dim, cfg)
     b = distinct_v.select(
         "id", F.posexplode(udf(F.col("v"))).alias("table", "bucket")
     )
     if cfg.max_bucket_size is None:
-        pairs = (
-            b.alias("x")
-            .join(b.withColumnRenamed("id", "id_b").alias("y"), on=["table", "bucket"])
-            .filter(F.col("x.id") < F.col("id_b"))
-            .select(F.col("x.id").alias("id_a"), "id_b")
-        )
-    else:
-        # (table, bucket) cardinality <= num_tables * 2^num_hyperplanes
-        # — the sizes frame is tiny and AQE broadcast-joins it back.
-        sizes = b.groupBy("table", "bucket").agg(
-            F.count(F.lit(1)).alias("__bsz__"), F.min("id").alias("__anchor__")
-        )
-        routed = b.join(sizes, on=["table", "bucket"])
-        small = routed.filter(F.col("__bsz__") <= cfg.max_bucket_size).select(
-            "table", "bucket", "id"
-        )
-        pairs_small = (
-            small.alias("x")
-            .join(small.withColumnRenamed("id", "id_b").alias("y"), on=["table", "bucket"])
-            .filter(F.col("x.id") < F.col("id_b"))
-            .select(F.col("x.id").alias("id_a"), "id_b")
-        )
-        pairs_big = (
-            routed.filter(
-                (F.col("__bsz__") > cfg.max_bucket_size)
-                & (F.col("id") != F.col("__anchor__"))
-            )
-            .select(F.col("__anchor__").alias("id_a"), F.col("id").alias("id_b"))
-        )
-        pairs = pairs_small.unionByName(pairs_big)
+        pairs = _bucket_self_join(b, ["table", "bucket"])
+        return star.unionByName(pairs).dropDuplicates(["id_a", "id_b"])
+
+    # (table, bucket) groups are hash-spread; the aggregate is tiny.
+    # Probe: collect at most _MAX_PROBE_KEYS oversized keys — empty in
+    # the common case, and then the whole routing sub-plan is skipped.
+    sizes = b.groupBy("table", "bucket").agg(
+        F.count(F.lit(1)).alias("__bsz__"), F.min("id").alias("__anchor__")
+    )
+    big_probe = sizes.filter(F.col("__bsz__") > cfg.max_bucket_size)
+    probe_rows = big_probe.limit(_MAX_PROBE_KEYS + 1).collect()
+    stats["oversized_buckets"] = (
+        len(probe_rows) if len(probe_rows) <= _MAX_PROBE_KEYS else f">{_MAX_PROBE_KEYS}"
+    )
+    if not probe_rows:
+        pairs = _bucket_self_join(b, ["table", "bucket"])
+        return star.unionByName(pairs).dropDuplicates(["id_a", "id_b"])
+
+    routed = b.join(sizes, on=["table", "bucket"])
+    small = routed.filter(F.col("__bsz__") <= cfg.max_bucket_size).select(
+        "table", "bucket", "id"
+    )
+    pairs_small = _bucket_self_join(small, ["table", "bucket"])
+    big = routed.filter(F.col("__bsz__") > cfg.max_bucket_size)
+    # anchor is the bucket min id, so id_a < id_b holds by construction
+    pairs_big_anchor = big.filter(F.col("id") != F.col("__anchor__")).select(
+        F.col("__anchor__").alias("id_a"), F.col("id").alias("id_b")
+    )
+    # level-2 refinement: re-key oversized-bucket members on fresh
+    # hyperplanes; similar members meet again without the anchor
+    refine = make_refine_udf(dim, cfg)
+    bigv = big.select("table", "bucket", "id").join(distinct_v, on="id")
+    rb = bigv.select("table", "bucket", "id", refine(F.col("v")).alias("rkey"))
+    rsizes = rb.groupBy("table", "bucket", "rkey").agg(
+        F.count(F.lit(1)).alias("__rsz__"), F.min("id").alias("__sub_anchor__")
+    )
+    rrouted = rb.join(rsizes, on=["table", "bucket", "rkey"])
+    rsmall = rrouted.filter(F.col("__rsz__") <= cfg.max_bucket_size).select(
+        "table", "bucket", "rkey", "id"
+    )
+    pairs_refined = _bucket_self_join(rsmall, ["table", "bucket", "rkey"])
+    pairs_sub_anchor = rrouted.filter(
+        (F.col("__rsz__") > cfg.max_bucket_size)
+        & (F.col("id") != F.col("__sub_anchor__"))
+    ).select(F.col("__sub_anchor__").alias("id_a"), F.col("id").alias("id_b"))
+    pairs = (
+        pairs_small.unionByName(pairs_big_anchor)
+        .unionByName(pairs_refined)
+        .unionByName(pairs_sub_anchor)
+    )
     return star.unionByName(pairs).dropDuplicates(["id_a", "id_b"])
 
 
@@ -308,14 +456,16 @@ def near_dup_pairs(
     dim: int,
     cfg: ANNConfig = ANNConfig(),
     exact: bool = False,
+    n_rows: Optional[int] = None,
+    stats: Optional[dict] = None,
 ) -> DataFrame:
     """All unordered pairs with cosine >= cfg.threshold.
 
     exact=True: O(N^2) self-join (small inputs / oracle parity).
     exact=False: SRP-LSH candidate generation (identical-vector
     collapse + size-bounded buckets, see near_dup_candidate_pairs) +
-    exact cosine verification — approximate recall but no quadratic
-    shuffle; this is the 100TB path.
+    exact cosine verification (batched ``pair_dot``) — approximate
+    recall but no quadratic shuffle; this is the 100TB path.
     """
     idc, vc = cfg.id_column, cfg.vector_column
     v = vectors.select(
@@ -329,13 +479,13 @@ def near_dup_pairs(
             .select(F.col("a.id").alias("id_a"), F.col("id_b"), F.col("a.v").alias("va"), F.col("vb"))
         )
     else:
-        pairs = near_dup_candidate_pairs(v, dim, cfg)
+        pairs = near_dup_candidate_pairs(v, dim, cfg, n_rows=n_rows, stats=stats)
         cand = (
             pairs.join(v.withColumnRenamed("id", "id_a").withColumnRenamed("v", "va"), on="id_a")
             .join(v.withColumnRenamed("id", "id_b").withColumnRenamed("v", "vb"), on="id_b")
         )
     return (
-        cand.withColumn("sim", dot(F.col("va"), F.col("vb")))
+        cand.withColumn("sim", pair_dot(F.col("va"), F.col("vb")))
         .filter(F.col("sim") >= cfg.threshold)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
     )
@@ -366,7 +516,7 @@ def ann_match_edges(
     dim: int,
     cfg: ANNConfig = ANNConfig(),
     exact: bool = False,
-    n_centroids: int = 16,
+    n_centroids: Optional[int] = None,
     n_probe: int = 4,
     k0: int = 20,
     metrics: Optional[ANNDedupMetrics] = None,
@@ -383,9 +533,9 @@ def ann_match_edges(
         metrics.k_final = 0
         return pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
 
-    index = build_ivf_index(vectors, cfg, n_centroids)
     remaining = _unit_queries(vectors, cfg).localCheckpoint(eager=True)
     n_total = remaining.count()
+    index = build_ivf_index(vectors, cfg, n_centroids, n_rows=n_total)
     k = k0
     accepted: List[DataFrame] = []
     while True:
@@ -431,7 +581,7 @@ def ann_dedup(
     dim: int,
     cfg: ANNConfig = ANNConfig(),
     exact: bool = False,
-    n_centroids: int = 16,
+    n_centroids: Optional[int] = None,
     n_probe: int = 4,
     k0: int = 20,
     collect_metrics: bool = True,

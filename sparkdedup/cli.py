@@ -35,7 +35,12 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--input", "-i", required=True, help="parquet dir or Iceberg table")
         sp.add_argument("--output", "-o", required=True)
         sp.add_argument("--column", "-c", default="content")
-        sp.add_argument("--index", default=None, help="existing id column (else synthesized)")
+        sp.add_argument(
+            "--index", default=None,
+            help="existing id column (else synthesized); values MUST be "
+            "distinct — duplicate or 64-bit-hash-colliding keys abort the "
+            "run with a sample of the offenders",
+        )
         sp.add_argument("--metrics", default=None, help="metrics JSON path")
         sp.add_argument("--work_dir", default="./sparkdedup_work")
 
@@ -91,7 +96,8 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--id_column", default="vec_id")
     an.add_argument("--vector_column", default="embedding")
     an.add_argument("--threshold", type=float, default=0.9)
-    an.add_argument("--n_centroids", type=int, default=16)
+    an.add_argument("--n_centroids", type=int, default=None,
+                    help="IVF cells; default derives ~sqrt(N) from the corpus count")
     an.add_argument("--n_probe", type=int, default=4)
     an.add_argument("--k0", type=int, default=20)
     an.add_argument("--metrics", default=None)

@@ -213,9 +213,20 @@ def _checked_count(ids_df: DataFrame, id_column: Optional[str]) -> int:
         F.count(F.lit(1)).alias("n"), F.count_distinct(F.col(DOC_ID)).alias("d")
     ).first()
     if stats["n"] != stats["d"]:
+        # failure path only: one extra tiny job to make the abort
+        # actionable — show which user keys collide
+        sample = (
+            ids_df.groupBy(DOC_ID)
+            .agg(F.count(F.lit(1)).alias("c"), F.collect_set(F.col(id_column)).alias("keys"))
+            .filter(F.col("c") > 1)
+            .limit(5)
+            .collect()
+        )
+        shown = "; ".join(str(sorted(r["keys"]))[:120] for r in sample)
         raise ValueError(
             f"id column {id_column!r} maps to {stats['n'] - stats['d']} colliding "
-            f"__id__ values (hash collision or duplicate keys); use a distinct key"
+            f"__id__ values (hash collision or duplicate keys), e.g. {shown}; "
+            f"deduplicate the key column or drop --index to synthesize ids"
         )
     return int(stats["n"])
 
@@ -415,7 +426,7 @@ def ann_job(
     threshold: float = 0.9,
     id_column: str = "vec_id",
     vector_column: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: Optional[int] = None,
     n_probe: int = 4,
     k0: int = 20,
     metrics_path: Optional[str] = None,
@@ -434,7 +445,15 @@ def ann_job(
     (sparkdedup.encode — the reference embeds with an ONNX model,
     ann_unisim.py:75-99; the encoder is the pluggable part) and the
     encoded vectors are STAGED to work_dir parquet, so the expensive
-    encode pass is never repeated on resume."""
+    encode pass is never repeated on resume.
+
+    ``n_centroids=None`` derives ~sqrt(N) IVF cells from the staged
+    row count (ann.auto_n_centroids) — a fixed cell count makes the
+    per-query candidate set a constant FRACTION of the corpus, i.e.
+    quadratic total work at scale. In text mode ``id_column`` keeps its
+    library default "vec_id" meaning "synthesize an id" (document
+    tables don't carry vec_id); pass a real document id column to use
+    it instead."""
     from sparkdedup.ann import ann_match_edges
     from sparkdedup.config import ANNConfig
 
@@ -457,7 +476,10 @@ def ann_job(
         if _complete(vectors_path):
             m.stages["encode"] = StageInfo(time.time() - t, resumed=True)
         else:
-            docs = with_doc_id(read_documents(spark, input_path), id_column or None)
+            # "vec_id" is the VECTOR-table default — document tables
+            # don't have it; treat it as "synthesize" here
+            doc_id_col = None if id_column in (None, "vec_id") else id_column
+            docs = with_doc_id(read_documents(spark, input_path), doc_id_col)
             encoded = encode_documents(
                 docs, column=text_column, output_column=vector_column,
                 dim=encode_dim, ngram=encode_ngram,
@@ -474,7 +496,13 @@ def ann_job(
         vectors = read_documents(spark, input_path)
         m.rows_before = vectors.count()
     cfg = ANNConfig(id_column=id_column, vector_column=vector_column, threshold=threshold)
-    dim = len(vectors.select(vector_column).first()[0])
+    probe = vectors.select(vector_column).filter(F.col(vector_column).isNotNull()).first()
+    if probe is None:
+        raise ValueError(
+            f"ann_job: input {input_path!r} has no non-null {vector_column!r} rows "
+            "(empty table, or every vector is NULL)"
+        )
+    dim = len(probe[0])
 
     t = time.time()
     if _complete(edges_path):

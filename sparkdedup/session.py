@@ -9,7 +9,7 @@ same job plan holds from local[8] tests to a 1000-executor cluster.
 from __future__ import annotations
 
 import os
-from typing import Optional
+from typing import Mapping, Optional
 
 from pyspark.sql import SparkSession
 
@@ -20,6 +20,7 @@ def get_spark(
     shuffle_partitions: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
     ui: bool = False,
+    extra_conf: Optional[Mapping[str, str]] = None,
 ) -> SparkSession:
     # Python workers fork from the JVM started by this process and
     # inherit its environment: make pyarrow pick the glibc-backed
@@ -49,6 +50,8 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "256m")
         .config("spark.driver.memory", os.environ.get("SPARKDEDUP_DRIVER_MEM", "8g"))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     if checkpoint_dir:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)

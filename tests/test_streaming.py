@@ -79,3 +79,57 @@ def test_streaming_band_collisions_stateful(spark, tmp_path):
     assert all(dst < src for src, dst in got)
     nodes = {n for e in got for n in e}
     assert nodes == {3, 10}
+
+
+def test_streaming_band_collisions_event_time_ttl(spark, tmp_path):
+    """VERDICT r3 #5: event-time TTL bounds the LSH state. A band key
+    expires ttl_minutes after its latest event (vs the watermark):
+    expired keys are evicted (duplicates past the TTL recur), while
+    late-but-in-watermark collisions still match."""
+    from datetime import datetime
+
+    from sparkdedup.streaming import streaming_band_collisions
+
+    d = tmp_path / "tin"
+    d.mkdir()
+    out = str(tmp_path / "tedges")
+    ckpt = str(tmp_path / "tckpt")
+    text_a = "alpha corpus body with a good number of duplicated tokens inside"
+    text_b = "beta corpus body with a good number of duplicated tokens inside too"
+    text_c = "a completely unrelated singleton document body for watermark advance"
+
+    def drain(name, rows):
+        frame = pd.DataFrame(
+            {"doc_id": [r[0] for r in rows],
+             "text": [r[1] for r in rows],
+             "ts": [datetime(2026, 1, 1, *r[2]) for r in rows]}
+        )
+        # us precision: Spark's parquet reader rejects pandas' ns INT64
+        frame["ts"] = frame["ts"].astype("datetime64[us]")
+        frame.to_parquet(d / name, index=False)
+        stream = read_document_stream(
+            spark, str(d), schema="doc_id long, text string, ts timestamp"
+        )
+        bands = streaming_signatures(stream, MinHashConfig(column="text"), ts_col="ts")
+        edges = streaming_band_collisions(
+            bands, ts_col="ts", ttl_minutes=30, watermark_delay="10 minutes"
+        )
+        run_to_parquet(edges, out, ckpt)
+
+    # t=10:00 — A and B keys registered
+    drain("b0.parquet", [(1, text_a, (10, 0)), (10, text_b, (10, 0))])
+    # t=12:00 — B collides (state alive); watermark will move to 11:50
+    drain("b1.parquet", [(11, text_b, (12, 0))])
+    # t=12:30 — unrelated doc; A's timeout (10:30) < watermark (11:50):
+    # A is EVICTED during this batch; B (timeout 12:30) survives
+    drain("b2.parquet", [(12, text_c, (12, 30))])
+    # t=12:40 — text_a again: state gone -> NO edge to doc 1;
+    # text_b again: within TTL -> edge to doc 10 still found
+    drain("b3.parquet", [(5, text_a, (12, 40)), (13, text_b, (12, 40))])
+
+    got = {(r["src"], r["dst"]) for r in spark.read.parquet(out).collect()}
+    assert (11, 10) in got, "in-TTL cross-batch collision must match"
+    assert (13, 10) in got, "B's state must survive (touched at 12:00, TTL 30m)"
+    assert not any(1 in e or 5 in e for e in got), (
+        f"text_a state must have been evicted by the TTL, got {got}"
+    )

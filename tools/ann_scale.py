@@ -59,13 +59,18 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     vectors = spark.read.parquet(corpus).repartition(64)
-    n_centroids = max(16, int(n**0.5) // 2)
+    # auto-sized (~sqrt(N)) by build_ivf_index / ann_dedup since r4 —
+    # no hand-picked cell count
+    from sparkdedup.ann import auto_n_centroids
+
+    n_centroids = auto_n_centroids(n)
     cfg = ANNConfig(threshold=0.9)
 
     # plan check: unbounded-query search must not pin a BroadcastExchange
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    index = build_ivf_index(vectors, cfg, n_centroids)
+    index = build_ivf_index(vectors, cfg, n_rows=n)  # derives ~sqrt(N)
+    assert len(index.centroids) == n_centroids
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         ivf_search(
@@ -78,7 +83,7 @@ def main() -> None:
 
     t0 = time.time()
     res = ann_dedup(
-        vectors, DIM, cfg, exact=False, n_centroids=n_centroids, n_probe=4,
+        vectors, DIM, cfg, exact=False, n_probe=4,
         collect_metrics=True,
     )
     wall = time.time() - t0
