@@ -31,6 +31,12 @@ BENCH_QUERIES = [
 
 # the sandbox VM has ~2x run-to-run noise; two passes, per-query min
 N_PASSES = 2
+# queries that have swung +-50% across rounds get extra passes and a
+# reported median-of-5 so a real regression is tellable from VM noise
+# (VERDICT r3 #7); `queries` stays min-based for round-over-round
+# comparability
+VOLATILE = ("simhash_dedup", "embedding_near_dup_lsh")
+VOLATILE_PASSES = 5
 
 
 def main() -> None:
@@ -54,17 +60,28 @@ def main() -> None:
     per_query: dict[str, float] = {}
     rows: dict[str, int] = {}
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    samples: dict[str, list] = {name: [] for name in BENCH_QUERIES}
+
+    def run_once(name: str) -> None:
+        t0 = time.time()
+        df = qmap[name](spark, sf_dir)
+        rows[name] = df.count()
+        samples[name].append(round(time.time() - t0, 3))
+        # unpersist this query's pipeline caches so the 10-query
+        # loop doesn't accumulate persisted frames (VERDICT r2 #8)
+        entrymod.release_all()
+
     for _ in range(N_PASSES):
         spark.catalog.clearCache()
         for name in BENCH_QUERIES:
-            t0 = time.time()
-            df = qmap[name](spark, sf_dir)
-            rows[name] = df.count()
-            dt = round(time.time() - t0, 3)
-            per_query[name] = min(per_query.get(name, dt), dt)
-            # unpersist this query's pipeline caches so the 10-query
-            # loop doesn't accumulate persisted frames (VERDICT r2 #8)
-            entrymod.release_all()
+            run_once(name)
+    for name in VOLATILE:
+        while len(samples[name]) < VOLATILE_PASSES:
+            run_once(name)
+    per_query = {name: min(ts) for name, ts in samples.items()}
+    medians = {
+        name: sorted(samples[name])[len(samples[name]) // 2] for name in VOLATILE
+    }
     total = round(sum(per_query.values()), 3)
 
     out = {
@@ -77,6 +94,8 @@ def main() -> None:
         "n_docs": n_docs,
         "minhash_docs_per_sec": round(n_docs / per_query["minhash_dedup"], 1),
         "cpus": cpus,
+        "medians_of_5": medians,
+        "volatile_samples": {name: samples[name] for name in VOLATILE},
     }
     # headline sustained numbers from the 400k scaling matrix, if present
     matrix_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_matrix.json")
@@ -89,6 +108,37 @@ def main() -> None:
             }
             out["scaling_efficiency_2_to_8"] = matrix.get("efficiency_2_to_8")
             out["scaling_efficiency_8_to_32"] = matrix.get("efficiency_8_to_32")
+        except Exception:
+            pass
+    # shared-job standalone-cluster scaling (one job, cross-executor
+    # shuffles intact), if the tools/cluster_scaling.py report exists
+    cluster_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "cluster_scaling.json"
+    )
+    for key, fname in (
+        ("cluster_shared_job", "cluster_scaling.json"),
+        ("cluster_executor_envelope", "cluster_scaling_envelope.json"),
+    ):
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", fname)
+        if not os.path.exists(path):
+            continue
+        try:
+            cluster = json.load(open(path))
+            res = cluster.get("results", {})
+            effs = {}
+            names = list(res)
+            for i, a in enumerate(names):
+                for b in names[i + 1:]:
+                    ca, cb = res[a]["cores"], res[b]["cores"]
+                    if cb > ca:
+                        effs[f"{a}_to_{b}"] = round(
+                            (res[a]["best"] / res[b]["best"]) / (cb / ca), 3
+                        )
+            out[key] = {
+                "n_docs": cluster.get("n_docs"),
+                "docs_per_sec": {k: v["best_docs_per_sec"] for k, v in res.items()},
+                "efficiency_best": effs,
+            }
         except Exception:
             pass
     print(json.dumps(out))

@@ -143,14 +143,31 @@ class Cluster:
         subprocess.run(["pkill", "-9", "-f", "deploy.worker.Worker"], check=False)
 
 
+def _pyfiles_zip() -> str:
+    """Package the library the production way (north rule: the job runs
+    via spark-submit --py-files)."""
+    zpath = "/tmp/spark-standalone/sparkdedup.zip"
+    if not os.path.exists(zpath):
+        os.makedirs(os.path.dirname(zpath), exist_ok=True)
+        subprocess.run(["zip", "-qr", zpath, "sparkdedup"], cwd=REPO, check=True)
+    return zpath
+
+
 def _run_job(cfg: dict) -> dict:
     job = _JOB.format(repo=REPO)
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
         f.write(job)
         path = f.name
-    env = dict(os.environ, SPARKDEDUP_DRIVER_MEM=cfg.get("driver_mem", "24g"))
-    out = subprocess.run([sys.executable, path, json.dumps(cfg)],
-                         capture_output=True, text=True, timeout=3600, env=env)
+    env = dict(os.environ, SPARKDEDUP_DRIVER_MEM=cfg.get("driver_mem", "24g"),
+               SPARK_HOME=SPARK_HOME)
+    cmd = [
+        os.path.join(SPARK_HOME, "bin", "spark-submit"),
+        "--master", cfg["master"],
+        "--py-files", _pyfiles_zip(),
+        "--driver-memory", cfg.get("driver_mem", "24g"),
+        path, json.dumps(cfg),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=env)
     for line in out.stdout.strip().splitlines():
         if line.startswith("RESULT "):
             rec = json.loads(line[len("RESULT "):])
@@ -159,8 +176,19 @@ def _run_job(cfg: dict) -> dict:
     raise RuntimeError(f"job {cfg['label']} failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
 
 
+def _parse_config(spec: str):
+    """'local8' -> local-mode baseline; 'WxC' (e.g. '4x8') -> W standalone
+    workers with C cores each."""
+    if spec.startswith("local"):
+        return {"kind": "local", "cores": int(spec[len("local"):])}
+    w, c = spec.split("x")
+    return {"kind": "cluster", "workers": int(w), "cores_each": int(c)}
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 4_800_000
+    specs = sys.argv[2:] or ["local8", "1x8", "4x8"]
+    out_name = os.environ.get("SCALE_OUT", "cluster_scaling.json")
     corpus = f"/tmp/sparkdedup_scale_{n_docs}.parquet"
     if not os.path.exists(corpus):
         from sparkdedup.fixtures import write_code_files
@@ -172,47 +200,49 @@ def main() -> None:
     reps = int(os.environ.get("SCALE_REPS", "3"))
     results = {}
 
-    # baseline at its BEST (48g single JVM, the r3 scaling-matrix
-    # setting): any memory handicap here would inflate our efficiency
-    results["local8"] = _run_job({
-        "label": "local8", "master": "local[8]", "cores": 8,
-        "corpus": corpus, "reps": reps, "driver_mem": "48g"})
-
-    # the 1x8 standalone worker gets 40g (generous — isolates standalone
-    # deploy overhead, not memory pressure); the 4x8 workers get 20g
-    # each, the per-node share a real 4-node cluster would have
-    cl = Cluster(n_workers=1, cores=8, mem_gb=42)
-    try:
-        results["cluster_1x8"] = _run_job({
-            "label": "cluster_1x8", "master": MASTER_URL, "cores": 8,
-            "corpus": corpus, "reps": reps,
-            "conf": {"spark.executor.cores": "8", "spark.executor.memory": "40g"}})
-    finally:
-        cl.stop()
-
-    cl = Cluster(n_workers=4, cores=8, mem_gb=22)
-    try:
-        results["cluster_4x8"] = _run_job({
-            "label": "cluster_4x8", "master": MASTER_URL, "cores": 32,
-            "corpus": corpus, "reps": reps,
-            "conf": {"spark.executor.cores": "8", "spark.executor.memory": "20g"}})
-    finally:
-        cl.stop()
+    for spec in specs:
+        pc = _parse_config(spec)
+        if pc["kind"] == "local":
+            # baseline at its BEST (48g single JVM, the r3 scaling-matrix
+            # setting): a memory handicap here would inflate our efficiency
+            results[spec] = _run_job({
+                "label": spec, "master": f"local[{pc['cores']}]",
+                "cores": pc["cores"], "corpus": corpus, "reps": reps,
+                "driver_mem": "48g"})
+            continue
+        w, c = pc["workers"], pc["cores_each"]
+        # per-worker memory: single-worker configs get the generous 40g
+        # (isolate deploy overhead, not memory pressure); multi-worker
+        # configs split ~80g — the per-node share of a real cluster
+        mem = 40 if w == 1 else max(8, 80 // w)
+        cl = Cluster(n_workers=w, cores=c, mem_gb=mem + 2)
+        try:
+            results[f"cluster_{spec}"] = _run_job({
+                "label": f"cluster_{spec}", "master": MASTER_URL,
+                "cores": w * c, "corpus": corpus, "reps": reps,
+                "conf": {"spark.executor.cores": str(c),
+                         "spark.executor.memory": f"{mem}g"}})
+        finally:
+            cl.stop()
 
     survs = {r["survivors"] for r in results.values()}
     assert len(survs) == 1, f"parallelism changed the result! {survs}"
     report = {"n_docs": n_docs, "reps": reps,
               "partitions": int(os.environ.get("SCALE_PARTS", "64")),
               "results": results}
+    ordered = list(results)
     for metric in ("best", "median"):
-        base = results["local8"][metric]
-        one = results["cluster_1x8"][metric]
-        four = results["cluster_4x8"][metric]
-        report[f"efficiency_{metric}_local8_to_4x8"] = round((base / four) / 4, 3)
-        report[f"efficiency_{metric}_1x8_to_4x8"] = round((one / four) / 4, 3)
-        report[f"standalone_overhead_{metric}_vs_local8"] = round(one / base, 3)
+        for i, a in enumerate(ordered):
+            for b in ordered[i + 1:]:
+                ca, cb = results[a]["cores"], results[b]["cores"]
+                if cb > ca:
+                    eff = (results[a][metric] / results[b][metric]) / (cb / ca)
+                    report[f"efficiency_{metric}_{a}_to_{b}"] = round(eff, 3)
+                elif cb == ca:
+                    report[f"overhead_{metric}_{b}_vs_{a}"] = round(
+                        results[b][metric] / results[a][metric], 3)
     print(json.dumps(report, indent=2))
-    with open(os.path.join(REPO, "BENCH", "cluster_scaling.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump(report, f, indent=2)
 
 
