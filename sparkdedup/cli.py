@@ -98,7 +98,8 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--threshold", type=float, default=0.9)
     an.add_argument("--n_centroids", type=int, default=None,
                     help="IVF cells; default derives ~sqrt(N) from the corpus count")
-    an.add_argument("--n_probe", type=int, default=4)
+    an.add_argument("--n_probe", type=int, default=None,
+                    help="cells probed per query; default derives ~sqrt(n_centroids)")
     an.add_argument("--k0", type=int, default=20)
     an.add_argument("--metrics", default=None)
     an.add_argument("--work_dir", default="./sparkdedup_work")

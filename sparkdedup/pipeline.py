@@ -427,7 +427,7 @@ def ann_job(
     id_column: str = "vec_id",
     vector_column: str = "embedding",
     n_centroids: Optional[int] = None,
-    n_probe: int = 4,
+    n_probe: Optional[int] = None,
     k0: int = 20,
     metrics_path: Optional[str] = None,
     text_column: Optional[str] = None,

@@ -186,13 +186,23 @@ def _cosort_key_halves(h1: np.ndarray, h2: np.ndarray) -> Tuple[np.ndarray, np.n
     h1 plus direct np.sort of h2 inside equal-h1 runs — runs longer
     than 1 are h1 collisions/repeats, rare for hash keys, so this beats
     np.lexsort (two indirect passes) ~3x and np.unique on a 16-byte
-    structured dtype (void comparisons) ~25x."""
+    structured dtype (void comparisons) ~25x.
+
+    Heavily-repeated windows (near-duplicated text where most windows
+    recur, e.g. everything appearing exactly twice) would make the
+    per-run fixup ~runs interpreter iterations; past ~1/128 of the
+    items being duplicate runs, fall back to the plain two-pass
+    np.lexsort so the worst case stays a vectorized indirect sort."""
     order = np.argsort(h1, kind="stable")
     s1 = np.ascontiguousarray(h1[order])
     s2 = np.ascontiguousarray(h2[order])
     starts = np.flatnonzero(np.concatenate(([True], s1[1:] != s1[:-1])))
     lens = np.diff(np.append(starts, s1.size))
-    for st, ln in zip(starts[lens > 1], lens[lens > 1]):
+    dup = np.flatnonzero(lens > 1)
+    if dup.size > max(64, s1.size >> 7):
+        order = np.lexsort((h2, h1))
+        return np.ascontiguousarray(h1[order]), np.ascontiguousarray(h2[order])
+    for st, ln in zip(starts[dup], lens[dup]):
         s2[st : st + ln] = np.sort(s2[st : st + ln])
     return s1, s2
 

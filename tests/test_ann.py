@@ -234,6 +234,13 @@ def test_auto_n_centroids_sqrt_rule():
     assert auto_n_centroids(10) == 10              # k <= N
     with pytest.raises(ValueError):
         auto_n_centroids(0)
+    from sparkdedup.ann import auto_n_probe
+
+    # probes ~ sqrt(cells): constant probes shrink the probed corpus
+    # fraction as cells grow with sqrt(N)
+    assert auto_n_probe(316) == 18
+    assert auto_n_probe(16) == 4
+    assert auto_n_probe(31622) == 178
 
 
 def test_build_ivf_index_derives_centroids(spark, vectors):

@@ -216,3 +216,31 @@ def test_substring_shuffle_64mb_fully_duplicated_doc(spark):
     assert set(got) == {2} and got[2] == "tiny unique survivor doc"
     res.release()
     df.unpersist()
+
+
+def test_cosort_key_halves_heavy_duplication_fallback():
+    """ADVICE r3: when most windows repeat (near-duplicated text), the
+    per-run fixup must degrade to the vectorized lexsort, and both
+    paths must produce the identical (h1, h2) ordering."""
+    import numpy as np
+
+    from sparkdedup.suffix import _cosort_key_halves
+
+    rng = np.random.RandomState(3)
+    # every key appears exactly twice with DIFFERENT h2 order -> every
+    # h1 run needs a resort; 20k runs would be 20k interpreter loops
+    base1 = rng.randint(0, 1 << 62, 20_000, dtype=np.int64)
+    h1 = np.repeat(base1, 2)
+    h2 = rng.randint(0, 1 << 62, h1.size, dtype=np.int64)
+    perm = rng.permutation(h1.size)
+    h1, h2 = h1[perm], h2[perm]
+    s1, s2 = _cosort_key_halves(h1, h2)
+    order = np.lexsort((h2, h1))
+    assert np.array_equal(s1, h1[order])
+    assert np.array_equal(s2, h2[order])
+    # rare-duplicate path (below the fallback threshold) agrees too
+    h1b = np.concatenate([base1, base1[:100]])
+    h2b = rng.randint(0, 1 << 62, h1b.size, dtype=np.int64)
+    s1b, s2b = _cosort_key_halves(h1b, h2b)
+    ob = np.lexsort((h2b, h1b))
+    assert np.array_equal(s1b, h1b[ob]) and np.array_equal(s2b, h2b[ob])

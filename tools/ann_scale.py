@@ -61,9 +61,10 @@ def main() -> None:
     vectors = spark.read.parquet(corpus).repartition(64)
     # auto-sized (~sqrt(N)) by build_ivf_index / ann_dedup since r4 —
     # no hand-picked cell count
-    from sparkdedup.ann import auto_n_centroids
+    from sparkdedup.ann import auto_n_centroids, auto_n_probe
 
     n_centroids = auto_n_centroids(n)
+    n_probe = auto_n_probe(n_centroids)
     cfg = ANNConfig(threshold=0.9)
 
     # plan check: unbounded-query search must not pin a BroadcastExchange
@@ -74,7 +75,7 @@ def main() -> None:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         ivf_search(
-            index, _unit_queries(vectors, cfg), 20, n_probe=4, broadcast_queries=False
+            index, _unit_queries(vectors, cfg), 20, broadcast_queries=False
         ).explain("extended")
     physical = buf.getvalue().split("== Physical Plan ==")[-1]
     no_broadcast = "BroadcastExchange" not in physical
@@ -83,7 +84,7 @@ def main() -> None:
 
     t0 = time.time()
     res = ann_dedup(
-        vectors, DIM, cfg, exact=False, n_probe=4,
+        vectors, DIM, cfg, exact=False,
         collect_metrics=True,
     )
     wall = time.time() - t0
@@ -93,7 +94,7 @@ def main() -> None:
         "dim": DIM,
         "cores": cores,
         "n_centroids": n_centroids,
-        "n_probe": 4,
+        "n_probe": n_probe,
         "wall_s": round(wall, 1),
         "vectors_per_sec": round(n / wall, 1),
         "rounds": res.metrics.rounds,
