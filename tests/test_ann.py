@@ -311,3 +311,26 @@ def test_small_corpus_fast_path_skips_collapse(spark, vectors):
     assert s_routed["oversized_buckets"] == 0  # buckets all < 350 here
     # same buckets, no oversized ones -> identical verified pairs
     assert fast == routed and len(fast) > 20
+
+
+def test_ivf_search_cogroup_matches_broadcast_path(spark, vectors):
+    """The two ivf_search execution strategies — broadcast join +
+    batched pair scoring (bounded queries) and cogrouped per-cell
+    matmul (unbounded queries) — must produce identical results."""
+    from sparkdedup.ann import _unit_queries, build_ivf_index, ivf_search
+
+    cfg = ANNConfig()
+    index = build_ivf_index(vectors, cfg, n_centroids=8)
+    q = _unit_queries(vectors.filter(F.col("vec_id") < 50), cfg)
+
+    def canon(df):
+        return {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["sim"], 9))
+            for r in df.collect()
+        }
+
+    bcast = canon(ivf_search(index, q, 7, n_probe=3, broadcast_queries=True))
+    cogrp = canon(ivf_search(index, q, 7, n_probe=3, broadcast_queries=False))
+    assert len(bcast) >= 50 * 5
+    assert bcast == cogrp
+    index.release()
