@@ -135,10 +135,29 @@ def _jaccard_truth(spark: SparkSession, sf_dir: str):
 
     docs = _docs(spark, sf_dir)
     filt = docs.filter(F.size(F.split(F.lower(F.col("text")), r"(?U)\W")) >= 5)
-    sh = filt.select("doc_id", shingle_array(F.col("text"), 5).alias("s"))
+    # intersect 64-bit shingle hashes, not strings: identical Jaccard
+    # values barring a 64-bit collision inside one doc's shingle set
+    # (~|s|^2/2^64 — negligible, and the sf0.01 DuckDB parity check
+    # pins the string-semantics result), ~10x cheaper per pair
+    sh = filt.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(shingle_array(F.col("text"), 5), lambda x: F.xxhash64(x))
+        ).alias("s"),
+    ).withColumn("n", F.size("s"))
+    # exactness-preserving prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
+    # so pairs failing the size ratio can never reach the threshold —
+    # the array_intersect runs only on surviving pairs
     edges = (
         sh.alias("a")
-        .join(sh.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .join(
+            sh.alias("b"),
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.n"), F.col("b.n"))
+                >= F.greatest(F.col("a.n"), F.col("b.n")) * F.lit(0.7)
+            ),
+        )
         .filter(jaccard(F.col("a.s"), F.col("b.s")) >= 0.7)
         .select(F.col("b.doc_id").alias("src"), F.col("a.doc_id").alias("dst"))
     )

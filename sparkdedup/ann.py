@@ -28,6 +28,12 @@ from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
 
 from sparkdedup.config import ANNConfig
 
+# cap on the per-block (queries x cell) sims matrix inside the cogrouped
+# IVF search, in float64 elements (~64 MB): hot cells (near-identical
+# crowds) can far exceed the ~sqrt(N) average cell size, and an
+# unblocked (Q_cell x C_cell) matmul would OOM the UDF
+_SIMS_BUDGET_DOUBLES = 8 << 20
+
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<float/double> columns (JVM-side).
@@ -293,6 +299,8 @@ def ivf_search(
             .select("query_id", "neighbor_id", "sim", "rank")
         )
 
+    sims_budget = _SIMS_BUDGET_DOUBLES
+
     def score_cell(key, qdf: pd.DataFrame, cdf: pd.DataFrame):
         from sparkdedup.tuning import tune_worker_memory
 
@@ -306,24 +314,35 @@ def ivf_search(
                 }
             )
         qm = _stack(qdf["qv"])
-        cm = _stack(cdf["nv"])
-        sims = qm @ cm.T  # (nq, nc)
+        cm = _stack(cdf["nv"]).T  # (dim, nc)
         qids = qdf["query_id"].to_numpy()
         nids = cdf["neighbor_id"].to_numpy()
-        # mask self-matches before the top-k cut
-        self_mask = qids[:, None] == nids[None, :]
-        sims[self_mask] = -np.inf
-        kk = min(k, sims.shape[1])
-        if kk < sims.shape[1]:
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        else:
-            part = np.broadcast_to(np.arange(sims.shape[1]), (len(qids), sims.shape[1]))
-        taken = np.take_along_axis(sims, part, axis=1)
-        keep = ~np.isinf(taken)
-        qq = np.repeat(qids, part.shape[1])[keep.ravel()]
-        nn = nids[part.ravel()][keep.ravel()]
-        ss = taken.ravel()[keep.ravel()]
-        return pd.DataFrame({"query_id": qq, "neighbor_id": nn, "sim": ss})
+        nc = cm.shape[1]
+        block = max(1, sims_budget // max(1, nc))
+        out_q, out_n, out_s = [], [], []
+        for lo in range(0, len(qids), block):
+            qb = qm[lo : lo + block]
+            qid_b = qids[lo : lo + block]
+            sims = qb @ cm  # (block, nc)
+            # mask self-matches before the top-k cut
+            sims[qid_b[:, None] == nids[None, :]] = -np.inf
+            kk = min(k, nc)
+            if kk < nc:
+                part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            else:
+                part = np.broadcast_to(np.arange(nc), (len(qid_b), nc))
+            taken = np.take_along_axis(sims, part, axis=1)
+            keep = ~np.isinf(taken)
+            out_q.append(np.repeat(qid_b, part.shape[1])[keep.ravel()])
+            out_n.append(nids[part.ravel()][keep.ravel()])
+            out_s.append(taken.ravel()[keep.ravel()])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "sim": np.concatenate(out_s),
+            }
+        )
 
     per_cell = (
         probed.groupBy("cell")

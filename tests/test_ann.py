@@ -334,3 +334,25 @@ def test_ivf_search_cogroup_matches_broadcast_path(spark, vectors):
     assert len(bcast) >= 50 * 5
     assert bcast == cogrp
     index.release()
+
+
+def test_ivf_cogroup_hot_cell_blocked_scoring(spark, vectors, monkeypatch):
+    """A hot cell must be scored in bounded query blocks (the sims
+    matrix is capped), and blocking must not change results."""
+    import sparkdedup.ann as ann_mod
+    from sparkdedup.ann import _unit_queries, build_ivf_index, ivf_search
+
+    cfg = ANNConfig()
+    index = build_ivf_index(vectors, cfg, n_centroids=2)  # ~200 rows/cell
+    q = _unit_queries(vectors, cfg)
+
+    def canon(df):
+        return {(r["query_id"], r["rank"]): r["neighbor_id"] for r in df.collect()}
+
+    full = canon(ivf_search(index, q, 5, n_probe=1, broadcast_queries=False))
+    # force ~8 query blocks per cell: budget 5000 doubles / ~200-col cell
+    monkeypatch.setattr(ann_mod, "_SIMS_BUDGET_DOUBLES", 5000)
+    blocked = canon(ivf_search(index, q, 5, n_probe=1, broadcast_queries=False))
+    assert len(full) >= N * 4
+    assert blocked == full
+    index.release()
