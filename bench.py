@@ -112,9 +112,6 @@ def main() -> None:
             pass
     # shared-job standalone-cluster scaling (one job, cross-executor
     # shuffles intact), if the tools/cluster_scaling.py report exists
-    cluster_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH", "cluster_scaling.json"
-    )
     for key, fname in (
         ("cluster_shared_job", "cluster_scaling.json"),
         ("cluster_executor_envelope", "cluster_scaling_envelope.json"),

@@ -34,6 +34,15 @@ from sparkdedup.config import ANNConfig
 # unblocked (Q_cell x C_cell) matmul would OOM the UDF
 _SIMS_BUDGET_DOUBLES = 8 << 20
 
+# KMeans training points per centroid: above this the IVF fit trains on
+# a bounded random sample instead of the full corpus (the faiss
+# convention — faiss trains IVF quantizers on <=256 points/centroid,
+# max_points_per_centroid, with no measurable recall loss). Without it
+# the Lloyd fit at k=sqrt(N) is O(N^1.5 * dim * iters) — at N=1e9 the
+# index BUILD dwarfs the search. The assign/transform pass always runs
+# over the full corpus.
+_KMEANS_TRAIN_PER_CENTROID = 256
+
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<float/double> columns (JVM-side).
@@ -190,7 +199,14 @@ def build_ivf_index(
     ``n_centroids=None`` (the default) derives ~sqrt(N) cells from a
     corpus count (pass ``n_rows`` if already known to skip the count):
     a fixed cell count makes per-query scored candidates
-    ~ n_probe/n_centroids * N — quadratic in practice at large N."""
+    ~ n_probe/n_centroids * N — quadratic in practice at large N.
+
+    Above ``_KMEANS_TRAIN_PER_CENTROID * k`` rows the Lloyd fit trains
+    on a bounded random sample (seeded, so the index stays
+    deterministic); only the cheap single-pass assign touches every
+    row. Centroid QUALITY needs a representative sample, not the full
+    corpus — full-corpus training is O(N^1.5 * dim * iters) at
+    k=sqrt(N) and would dominate the whole job at 100 TB."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -198,12 +214,21 @@ def build_ivf_index(
     v = vectors.select(
         F.col(idc).alias("neighbor_id"), unit_vector(F.col(vc).cast("array<double>")).alias("nv")
     )
+    if n_rows is None:
+        n_rows = v.count()
     if n_centroids is None:
-        n_centroids = auto_n_centroids(n_rows if n_rows is not None else v.count())
+        n_centroids = auto_n_centroids(n_rows)
     # index quality, not convergence, is what IVF needs — cap the
     # Lloyd iterations (classic IVF trainers stop far before tol)
     ml = v.withColumn("features", array_to_vector(F.col("nv")))
-    model = KMeans(k=n_centroids, seed=cfg.seed, featuresCol="features", maxIter=10).fit(ml)
+    train_cap = _KMEANS_TRAIN_PER_CENTROID * n_centroids
+    if n_rows > train_cap:
+        # 10% oversample so the sampled row count lands at/above the
+        # cap w.h.p. (Bernoulli sampling has binomial variance)
+        fit_df = ml.sample(fraction=min(1.0, 1.1 * train_cap / n_rows), seed=cfg.seed)
+    else:
+        fit_df = ml
+    model = KMeans(k=n_centroids, seed=cfg.seed, featuresCol="features", maxIter=10).fit(fit_df)
     # persist PRE-PARTITIONED on the search key: every ivf_search
     # (and each adaptive-k round) cogroups on `cell`, and a matching
     # hash partitioning lets those reuse this one exchange
@@ -231,11 +256,13 @@ def _make_probe_udf(centroids: np.ndarray, n_probe: int):
 
         tune_worker_memory()
         sims = _stack(qs) @ cmat  # (batch, k)
+        # kind="stable": default quicksort is unstable, so equal
+        # centroid dots could order nondeterministically across runs
         if take >= k:
-            cells = np.argsort(-sims, axis=1)
+            cells = np.argsort(-sims, axis=1, kind="stable")
         else:
             part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
-            order = np.argsort(-np.take_along_axis(sims, part, axis=1), axis=1)
+            order = np.argsort(-np.take_along_axis(sims, part, axis=1), axis=1, kind="stable")
             cells = np.take_along_axis(part, order, axis=1)
         return pd.Series(list(cells.astype(np.int32)))
 
@@ -391,8 +418,10 @@ def make_refine_udf(dim: int, cfg: ANNConfig):
     buckets: mutually-similar members agree on the refine signs w.h.p.
     and land in the same sub-bucket. Always >= 16 bits regardless of
     the (possibly coarse) primary num_hyperplanes: the refine key's job
-    is to SPLIT a mega-bucket, so it must out-resolve the primary key."""
-    n_bits = max(16, cfg.num_hyperplanes)
+    is to SPLIT a mega-bucket, so it must out-resolve the primary key.
+    Capped at 62 bits: the packed key is a signed int64 and a 63/64-bit
+    shift would overflow (duplicate/degenerate weights)."""
+    n_bits = min(62, max(16, cfg.num_hyperplanes))
     rng = np.random.RandomState(cfg.seed ^ 0x5EED5EED)
     planes = rng.standard_normal((dim, n_bits)).astype(np.float64)
     weights = 1 << np.arange(n_bits, dtype=np.int64)
@@ -491,6 +520,12 @@ def near_dup_candidate_pairs(
         pairs = _bucket_self_join(b, ["table", "bucket"])
         return star.unionByName(pairs).dropDuplicates(["id_a", "id_b"])
 
+    # materialize b (id, table, bucket — no vectors) before the probe
+    # job: otherwise the probe AND the subsequent self-join/routing plan
+    # each recompute the rep-collapse window + SRP bucket UDF over all
+    # distinct vectors (~2x candidate-generation work). Mirrors
+    # simhash's with_fp persist before its oversized-key probe.
+    b = b.localCheckpoint(eager=True)
     # (table, bucket) groups are hash-spread; the aggregate is tiny.
     # Probe: collect at most _MAX_PROBE_KEYS oversized keys — empty in
     # the common case, and then the whole routing sub-plan is skipped.
@@ -587,6 +622,7 @@ def near_dup_pairs(
 @dataclass
 class ANNDedupMetrics:
     rows_before: int = 0
+    n_distinct: int = 0  # distinct-vector reps after identical collapse
     rounds: int = 0
     k_final: int = 0
     match_edges: int = 0
@@ -614,7 +650,25 @@ def ann_match_edges(
     """(src, dst) deduped match edges >= cfg.threshold — the candidate
     graph the CC/cluster stage consumes (and the staged ann_job
     checkpoints). exact=True: all-pairs threshold join; else the
-    adaptive-k loop over the IVF index (see ann_dedup)."""
+    adaptive-k loop over the IVF index (see ann_dedup).
+
+    Identical vectors are collapsed to a min-id representative BEFORE
+    the adaptive-k loop (same move as the SRP path,
+    near_dup_candidate_pairs step 1): a mega-cluster of M identical
+    embeddings would otherwise stay saturated until k >= M and each
+    member would accept ~M matches — O(M^2) edges plus an M-struct
+    collect_list group per query. With the collapse, the group
+    contributes one representative query plus M-1 star edges. The edge
+    SET differs from the uncollapsed loop's, but its connected
+    components (all downstream consumers run CC) are identical: a
+    member's would-be edge to any x carries the same sim as its rep's
+    edge to x, and the stars connect members to reps. The signature is
+    TWO independently-seeded xxhash64 streams (~2^-128 collision odds)
+    — unlike the SRP path there is no exact-verify stage behind the
+    stars, so a single-hash collision would silently merge dissimilar
+    vectors."""
+    from pyspark.sql import Window
+
     if metrics is None:
         metrics = ANNDedupMetrics()
     if exact:
@@ -623,9 +677,31 @@ def ann_match_edges(
         metrics.k_final = 0
         return pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
 
-    remaining = _unit_queries(vectors, cfg).localCheckpoint(eager=True)
+    tagged = (
+        _unit_queries(vectors, cfg)
+        .withColumn("__s1__", F.xxhash64("qv"))
+        .withColumn("__s2__", F.xxhash64(F.lit(-4919), F.col("qv")))
+        .withColumn("rep", F.min("query_id").over(Window.partitionBy("__s1__", "__s2__")))
+        .localCheckpoint(eager=True)
+    )
+    star = tagged.filter(F.col("query_id") != F.col("rep")).select(
+        F.col("rep").alias("src"), F.col("query_id").alias("dst")
+    )
+    remaining = (
+        tagged.filter(F.col("query_id") == F.col("rep"))
+        .select("query_id", "qv")
+        .localCheckpoint(eager=True)
+    )
     n_total = remaining.count()
-    index = build_ivf_index(vectors, cfg, n_centroids, n_rows=n_total)
+    metrics.n_distinct = n_total
+    index = build_ivf_index(
+        remaining.select(
+            F.col("query_id").alias(cfg.id_column), F.col("qv").alias(cfg.vector_column)
+        ),
+        cfg,
+        n_centroids,
+        n_rows=n_total,
+    )
     k = k0
     accepted: List[DataFrame] = []
     while True:
@@ -661,9 +737,11 @@ def ann_match_edges(
     matches = accepted[0]
     for extra in accepted[1:]:
         matches = matches.unionByName(extra)
-    return matches.select(
-        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
-    ).dropDuplicates(["src", "dst"])
+    return (
+        matches.select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+        .unionByName(star)
+        .dropDuplicates(["src", "dst"])
+    )
 
 
 def ann_dedup(

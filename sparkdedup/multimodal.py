@@ -72,13 +72,63 @@ def _decode_stub(payload: bytes, kind: str, dim: int = 16) -> np.ndarray:
     return (raw.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
 
 
-def extract_features(assets: DataFrame, dim: int = 16) -> DataFrame:
-    """mapInPandas feature extraction over binary assets."""
+def _decode_image_pil(payload: bytes, dim: int) -> np.ndarray:
+    """REAL image decode via PIL (imported lazily INSIDE the worker so a
+    cluster whose executors have Pillow installed lights up with no env
+    changes here): decode -> grayscale -> 8x8 thumbnail -> normalized
+    pixel vector truncated/padded to ``dim``. Raises if PIL is absent or
+    the payload doesn't decode — callers fall back to the stub."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    img = Image.open(BytesIO(payload)).convert("L").resize((8, 8))
+    px = np.asarray(img, dtype=np.float32).ravel() / 255.0
+    if len(px) >= dim:
+        return px[:dim]
+    return np.pad(px, (0, dim - len(px)))
+
+
+def _decode(payload: bytes, kind: str, dim: int, use_real: bool) -> np.ndarray:
+    """Dispatch: real codec when enabled AND importable AND the payload
+    decodes; the deterministic stub otherwise. Per-asset fallback — one
+    corrupt payload must not fail the Arrow batch."""
+    if use_real and kind == "image":
+        try:
+            return _decode_image_pil(payload, dim)
+        except Exception:
+            return _decode_stub(payload, kind, dim)
+    return _decode_stub(payload, kind, dim)
+
+
+def _codecs_available() -> bool:
+    """True iff a real image codec imports in THIS process (evaluated
+    worker-side inside the UDF, not on the driver)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def extract_features(
+    assets: DataFrame, dim: int = 16, use_real_codecs: bool | None = None
+) -> DataFrame:
+    """mapInPandas feature extraction over binary assets.
+
+    ``use_real_codecs``: None (default) auto-detects per worker process
+    — decode with real codec libs when importable, deterministic stub
+    otherwise; True forces the real path (stub fallback per asset);
+    False pins the stub (deterministic output regardless of installed
+    libs — what the oracle queries use implicitly via sha256/n_bytes,
+    which never depend on the decoder)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        use_real = _codecs_available() if use_real_codecs is None else use_real_codecs
         for pdf in batches:
             feats = [
-                _decode_stub(p if p is not None else b"", k, dim).tolist()
+                _decode(p if p is not None else b"", k, dim, use_real).tolist()
                 for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             yield pd.DataFrame(

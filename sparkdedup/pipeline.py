@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 from dataclasses import asdict, dataclass, field
 from typing import Dict, Optional
@@ -479,7 +480,18 @@ def ann_job(
             # "vec_id" is the VECTOR-table default — document tables
             # don't have it; treat it as "synthesize" here
             doc_id_col = None if id_column in (None, "vec_id") else id_column
-            docs = with_doc_id(read_documents(spark, input_path), doc_id_col)
+            raw_docs = read_documents(spark, input_path)
+            if doc_id_col is None and "vec_id" in raw_docs.columns:
+                # the synthesize reinterpretation would silently ignore
+                # a REAL vec_id column the user may have meant to key on
+                print(
+                    "ann_job: text-mode input has a 'vec_id' column but "
+                    "id_column='vec_id' is the library default meaning "
+                    "'synthesize an id' — the existing column is IGNORED. "
+                    "Pass a different --id_column name to key on a real column.",
+                    file=sys.stderr,
+                )
+            docs = with_doc_id(raw_docs, doc_id_col)
             encoded = encode_documents(
                 docs, column=text_column, output_column=vector_column,
                 dim=encode_dim, ngram=encode_ngram,

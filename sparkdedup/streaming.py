@@ -116,6 +116,18 @@ def streaming_band_collisions(
       farther apart than the TTL can recur (the same recall trade-off
       as the watermarked exact dedup). Event-time timeouts advance with
       the data, so ``availableNow`` drains terminate normally.
+
+      Expiry is PER BAND KEY, not per document — the deliberate
+      contract (pinned by test_streaming_ttl_band_wise_expiry_contract):
+      a doc's B band keys age independently, each refreshed by whichever
+      later docs touch it, so past the TTL a near-dup still matches
+      through any refreshed shared band while expired bands have
+      forgotten the doc — cross-batch recall degrades band-by-band
+      (gracefully, with the band-collision probability), never
+      atomically per doc. Doc-atomic expiry would need cross-key
+      coordination (state here is keyed by band), i.e. a second stateful
+      stage keyed by doc feeding evictions back — a full extra shuffle
+      per micro-batch for strictly less graceful degradation.
     * ``timeout_minutes > 0``: processing-time timeout — wall-clock
       TTL for continuously-running queries. NOT for availableNow
       drains: the engine keeps scheduling timeout-handling

@@ -356,3 +356,80 @@ def test_ivf_cogroup_hot_cell_blocked_scoring(spark, vectors, monkeypatch):
     assert len(full) >= N * 4
     assert blocked == full
     index.release()
+
+
+def test_kmeans_sample_fit_engages_above_cap(spark, vectors, monkeypatch):
+    """VERDICT r4 #1: above _KMEANS_TRAIN_PER_CENTROID * k rows the IVF
+    Lloyd fit must train on a bounded sample (full-corpus training is
+    O(N^1.5) at k=sqrt(N)) — while the assign pass still covers every
+    row and planted-cluster recovery is unchanged."""
+    import sparkdedup.ann as ann_mod
+    from sparkdedup.ann import ann_dedup, build_ivf_index
+
+    # patch the CONCRETE DataFrame class (pyspark>=4 instances come from
+    # pyspark.sql.classic, which overrides the abstract base's sample)
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pyspark < 4
+        from pyspark.sql import DataFrame
+
+    calls = []
+    orig_sample = DataFrame.sample
+
+    def spy(self, *a, **kw):
+        calls.append(kw.get("fraction", a[0] if a else None))
+        return orig_sample(self, *a, **kw)
+
+    monkeypatch.setattr(DataFrame, "sample", spy)
+
+    # default cap (256 * 20 centroids = 5120 > 400 rows): full fit
+    index = build_ivf_index(vectors, ANNConfig())
+    assert calls == [], "sample-fit must NOT engage below the cap"
+    assert index.assigned.count() == N  # assign covers every row
+    index.release()
+
+    # shrink the cap so 400 rows > 10 * 20: sample-fit engages
+    monkeypatch.setattr(ann_mod, "_KMEANS_TRAIN_PER_CENTROID", 10)
+    index = build_ivf_index(vectors, ANNConfig())
+    assert len(calls) == 1 and 0 < calls[0] < 1, "sample-fit must engage above the cap"
+    assert index.assigned.count() == N, "assign must still cover the full corpus"
+    assert len(index.centroids) == 20
+    index.release()
+
+    # planted-cluster recovery unchanged under sample-fit: full-probe
+    # adaptive-k dedup still reproduces the exact threshold clustering
+    thr = 0.85
+    want = {r["vec_id"] for r in ann_dedup(vectors, DIM, ANNConfig(threshold=thr),
+                                           exact=True).kept.select("vec_id").collect()}
+    got_res = ann_dedup(vectors, DIM, ANNConfig(threshold=thr), exact=False,
+                        n_centroids=4, n_probe=4, k0=4)
+    got = {r["vec_id"] for r in got_res.kept.select("vec_id").collect()}
+    assert got == want
+
+
+def test_ann_dedup_identical_vector_collapse(spark):
+    """VERDICT r4 #2: a mega-cluster of M identical embeddings must
+    contribute one representative query + M-1 star edges to the
+    adaptive-k loop — NOT O(M^2) accepted matches — and the survivors
+    must still be exactly the per-cluster min ids."""
+    from sparkdedup.ann import ann_dedup
+
+    m_ident, n_bg = 300, 120
+    rng = np.random.RandomState(17)
+    base = rng.standard_normal(DIM)
+    rows = [(i, [float(x) for x in base]) for i in range(m_ident)]
+    # orthogonal-ish background noise: no cross matches at thr=0.95
+    for i in range(m_ident, m_ident + n_bg):
+        rows.append((i, [float(x) for x in rng.standard_normal(DIM)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    res = ann_dedup(df, DIM, ANNConfig(threshold=0.95), exact=False, k0=4)
+    assert res.metrics.n_distinct == n_bg + 1, "identical block must collapse to one rep"
+    # O(M) edges: M-1 stars (+ any background pairs, none at thr=0.95)
+    assert res.metrics.match_edges <= m_ident + n_bg, (
+        f"{res.metrics.match_edges} edges — quadratic would be ~{m_ident * (m_ident - 1) // 2}"
+    )
+    kept = {r["vec_id"] for r in res.kept.select("vec_id").collect()}
+    assert kept == {0} | set(range(m_ident, m_ident + n_bg))
+    # the saturation loop must not have chased k past the DISTINCT count
+    assert res.metrics.k_final <= 2 * (n_bg + 1) * 2

@@ -133,3 +133,62 @@ def test_streaming_band_collisions_event_time_ttl(spark, tmp_path):
     assert not any(1 in e or 5 in e for e in got), (
         f"text_a state must have been evicted by the TTL, got {got}"
     )
+
+
+def test_streaming_ttl_band_wise_expiry_contract(spark, tmp_path):
+    """VERDICT r4 #5 — pins the chosen TTL contract: state expires PER
+    BAND KEY, not per document. A doc's B band keys age independently
+    (each refreshed by whichever docs touch it), so after the TTL a
+    later near-dup still matches through any REFRESHED shared band but
+    the EXPIRED bands have forgotten the original doc — recall degrades
+    band-by-band, never atomically per doc. Evidence: a doc sharing only
+    the expired band re-registers it (edge points at the new holder, not
+    the original); a doc sharing the refreshed band still finds the
+    original min id."""
+    from datetime import datetime
+
+    from sparkdedup.streaming import streaming_band_collisions
+
+    d = tmp_path / "pin"
+    d.mkdir()
+    out = str(tmp_path / "pedges")
+    ckpt = str(tmp_path / "pckpt")
+
+    def drain(name, rows):  # rows: (doc_id, band, hash, (h, m))
+        frame = pd.DataFrame(
+            {"doc_id": [r[0] for r in rows],
+             "band": [r[1] for r in rows],
+             "hash": [r[2] for r in rows],
+             "ts": [datetime(2026, 1, 1, *r[3]) for r in rows]}
+        )
+        frame["ts"] = frame["ts"].astype("datetime64[us]")
+        frame.to_parquet(d / name, index=False)
+        from sparkdedup.streaming import read_document_stream
+
+        stream = read_document_stream(
+            spark, str(d), schema="doc_id long, band long, hash long, ts timestamp"
+        )
+        edges = streaming_band_collisions(
+            stream, ts_col="ts", ttl_minutes=30, watermark_delay="10 minutes"
+        )
+        run_to_parquet(edges, out, ckpt)
+
+    A, B, Z = 111, 222, 999  # band-hash payloads
+    # 10:00 — doc 1 registers BOTH its band keys (0,A) and (1,B)
+    drain("b0.parquet", [(1, 0, A, (10, 0)), (1, 1, B, (10, 0))])
+    # 12:00 — doc 2 touches ONLY key (0,A): collides (edge 2->1) and
+    # refreshes that key's TTL to 12:30; key (1,B) still expires 10:30
+    drain("b1.parquet", [(2, 0, A, (12, 0))])
+    # 12:10 — unrelated doc: watermark (11:50) passes (1,B)'s 10:30
+    # timeout -> (1,B) EVICTED; (0,A) (timeout 12:30) survives
+    drain("b2.parquet", [(99, 5, Z, (12, 10))])
+    # 12:15 — doc 3 carries BOTH bands: partial recall — the refreshed
+    # band still finds doc 1 (edge 3->1); the expired band re-registers
+    # fresh under doc 3 with NO edge to doc 1
+    drain("b3.parquet", [(3, 0, A, (12, 15)), (3, 1, B, (12, 15))])
+    # 12:20 — doc 4 shares ONLY the expired band: its edge points at the
+    # NEW holder (doc 3), proving (1,B) forgot doc 1 band-wise
+    drain("b4.parquet", [(4, 1, B, (12, 20))])
+
+    got = {(r["src"], r["dst"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(2, 1), (3, 1), (4, 3)}, got

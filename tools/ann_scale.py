@@ -70,7 +70,14 @@ def main() -> None:
     # plan check: unbounded-query search must not pin a BroadcastExchange
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # time the index BUILD separately: r5 sample-fits the KMeans above
+    # 256*k training rows (faiss convention), so this stage should drop
+    # visibly at 100k vectors vs the r4 full-corpus Lloyd fit
+    tb = time.time()
     index = build_ivf_index(vectors, cfg, n_rows=n)  # derives ~sqrt(N)
+    index.assigned.count()  # materialize the persisted assignment
+    build_s = time.time() - tb
+    sample_fit = n > 256 * n_centroids
     assert len(index.centroids) == n_centroids
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -95,8 +102,11 @@ def main() -> None:
         "cores": cores,
         "n_centroids": n_centroids,
         "n_probe": n_probe,
+        "index_build_s": round(build_s, 1),
+        "kmeans_sample_fit": sample_fit,
         "wall_s": round(wall, 1),
         "vectors_per_sec": round(n / wall, 1),
+        "n_distinct": res.metrics.n_distinct,
         "rounds": res.metrics.rounds,
         "k_final": res.metrics.k_final,
         "match_edges": res.metrics.match_edges,

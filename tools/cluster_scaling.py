@@ -82,11 +82,18 @@ for _ in range(cfg["reps"]):
     assert s == survivors
     survivors = s
 ts = sorted(times)
+mean = sum(ts) / len(ts)
+# spread: sample stdev (n-1) + IQR-ish min/max band — the envelope
+# claim needs a dispersion statistic, not just a 2-sample "median"
+sd = (sum((t - mean) ** 2 for t in ts) / max(1, len(ts) - 1)) ** 0.5
+med = (ts[len(ts) // 2] if len(ts) % 2 else (ts[len(ts) // 2 - 1] + ts[len(ts) // 2]) / 2)
 print("RESULT " + json.dumps({{"label": cfg["label"], "cores": cfg["cores"], "n_docs": n,
     "survivors": survivors, "warmup_s": warmup_s, "runs": times,
-    "best": ts[0], "median": ts[len(ts) // 2],
+    "best": ts[0], "median": round(med, 2), "mean": round(mean, 2),
+    "stdev": round(sd, 2), "min": ts[0], "max": ts[-1],
     "best_docs_per_sec": round(n / ts[0], 1),
-    "median_docs_per_sec": round(n / ts[len(ts) // 2], 1)}}))
+    "median_docs_per_sec": round(n / med, 1),
+    "mean_docs_per_sec": round(n / mean, 1)}}))
 spark.stop()
 """
 
@@ -167,7 +174,9 @@ def _run_job(cfg: dict) -> dict:
         "--driver-memory", cfg.get("driver_mem", "24g"),
         path, json.dumps(cfg),
     ]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=env)
+    # timeout must cover warmup + all reps: the 1x2-worker envelope rep
+    # runs ~840s at 4.8M docs, so 5 reps + warmup is ~85 min
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=14400, env=env)
     for line in out.stdout.strip().splitlines():
         if line.startswith("RESULT "):
             rec = json.loads(line[len("RESULT "):])
@@ -231,7 +240,7 @@ def main() -> None:
               "partitions": int(os.environ.get("SCALE_PARTS", "64")),
               "results": results}
     ordered = list(results)
-    for metric in ("best", "median"):
+    for metric in ("best", "median", "mean"):
         for i, a in enumerate(ordered):
             for b in ordered[i + 1:]:
                 ca, cb = results[a]["cores"], results[b]["cores"]

@@ -40,6 +40,8 @@ def load(app_dir: str):
                         "name": si["Stage Name"].split("\n")[0][:80],
                         "wall_s": round(dur, 2),
                         "n_tasks": si["Number of Tasks"],
+                        # epoch ms — lets callers window stages to reps
+                        "submission_ms": si.get("Submission Time", 0),
                     }
                 elif e == "SparkListenerTaskEnd":
                     m = ev.get("Task Metrics") or {}
