@@ -687,11 +687,9 @@ def ann_match_edges(
     star = tagged.filter(F.col("query_id") != F.col("rep")).select(
         F.col("rep").alias("src"), F.col("query_id").alias("dst")
     )
-    remaining = (
-        tagged.filter(F.col("query_id") == F.col("rep"))
-        .select("query_id", "qv")
-        .localCheckpoint(eager=True)
-    )
+    # narrow filter/project over the checkpointed blocks — no second
+    # materialization (the loop re-checkpoints `remaining` per round)
+    remaining = tagged.filter(F.col("query_id") == F.col("rep")).select("query_id", "qv")
     n_total = remaining.count()
     metrics.n_distinct = n_total
     index = build_ivf_index(

@@ -149,3 +149,13 @@ class ANNConfig:
     # connectivity-preserving (not exhaustive) recall inside them.
     # None disables the bound.
     max_bucket_size: Optional[int] = 4096
+
+    def __post_init__(self) -> None:
+        # bucket ids are sign bits packed into a signed int64
+        # (1 << bit_index); bit 62 is the last safe shift — 63 flips
+        # the sign and >=64 wraps mod 64 on most platforms, silently
+        # producing duplicate weights and degenerate buckets
+        if not 1 <= self.num_hyperplanes <= 62:
+            raise ValueError(
+                f"num_hyperplanes must be in [1, 62] (packed into int64), got {self.num_hyperplanes}"
+            )

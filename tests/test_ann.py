@@ -433,3 +433,14 @@ def test_ann_dedup_identical_vector_collapse(spark):
     assert kept == {0} | set(range(m_ident, m_ident + n_bg))
     # the saturation loop must not have chased k past the DISTINCT count
     assert res.metrics.k_final <= 2 * (n_bg + 1) * 2
+
+
+def test_annconfig_rejects_hyperplanes_over_62():
+    """Packed bucket/refine keys are signed int64: shifts past bit 62
+    overflow (ADVICE r4). Config rejects at construction, not deep in a
+    UDF with silently degenerate weights."""
+    import pytest
+
+    with pytest.raises(ValueError, match="62"):
+        ANNConfig(num_hyperplanes=63)
+    ANNConfig(num_hyperplanes=62)  # boundary stays legal

@@ -72,9 +72,9 @@ def main() -> None:
     # rare; edges must be ~ the M-1 stars, never the ~M^2/2 quadratic
     quadratic = m * (m - 1) // 2
     linear_bound = 2 * (m + bg)
-    kept_ids_sample = sorted(
-        r["vec_id"] for r in res.kept.select("vec_id").limit(5).collect()
-    )
+    kept_ids_sample = [
+        r["vec_id"] for r in res.kept.select("vec_id").orderBy("vec_id").limit(5).collect()
+    ]
     report = {
         "m_identical": m,
         "n_background": bg,
