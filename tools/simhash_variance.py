@@ -88,6 +88,19 @@ def main() -> None:
     fast_i = walls.index(min(walls))
     slow_i = walls.index(max(walls))
 
+    # per-rep run/CPU totals: if wall varies while CPU stays flat, the
+    # spread is off-CPU (sandbox stalls), not engine work
+    totals = []
+    for repstages in per_rep:
+        totals.append(
+            {
+                "n_stages": len(repstages),
+                "run_s": round(sum(s["run_s"] for s in repstages), 1),
+                "cpu_s": round(sum(s["cpu_s"] for s in repstages), 1),
+                "gc_s": round(sum(s["gc_s"] for s in repstages), 1),
+            }
+        )
+
     def top(repstages, k=6):
         return sorted(repstages, key=lambda s: -s["wall_s"])[:k]
 
@@ -100,6 +113,7 @@ def main() -> None:
         "walls_s": walls,
         "mean_s": round(mean, 3),
         "stdev_s": round(sd, 3),
+        "per_rep_totals": totals,
         "fast_rep": {"idx": fast_i, "wall_s": walls[fast_i], "top_stages": top(per_rep[fast_i])},
         "slow_rep": {"idx": slow_i, "wall_s": walls[slow_i], "top_stages": top(per_rep[slow_i])},
     }
