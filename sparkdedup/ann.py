@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
 
+from sparkdedup.cc import connected_components
 from sparkdedup.config import ANNConfig
 
 # cap on the per-block (queries x cell) sims matrix inside the cogrouped
@@ -42,6 +43,19 @@ _SIMS_BUDGET_DOUBLES = 8 << 20
 # index BUILD dwarfs the search. The assign/transform pass always runs
 # over the full corpus.
 _KMEANS_TRAIN_PER_CENTROID = 256
+
+# Adaptive-k dedup loop (ann_match_edges): once a connected component
+# holds this many SATURATED searchers it is a dense blob, not a sparse
+# chain — only its min-id member keeps re-querying at doubled k
+# (component contraction). Below the gate every saturated query keeps
+# searching, preserving chain-bridge recall.
+_CONTRACT_MIN_COMPONENT = 8
+
+# When this few searchers remain, jump k past any possible result size
+# (2*n_total+1) so the next round is the final exhaustive one instead of
+# doubling toward each dense cluster's size one full-corpus job at a
+# time.
+_EXHAUSTIVE_TAIL_QUERIES = 64
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -628,6 +642,9 @@ class ANNDedupMetrics:
     match_edges: int = 0
     cc_iterations: int = 0
     rows_after: int = 0
+    # saturated searchers retired by between-round component
+    # contraction (dense near-identical clusters; see ann_match_edges)
+    contractions: int = 0
 
 
 @dataclass
@@ -666,7 +683,19 @@ def ann_match_edges(
     TWO independently-seeded xxhash64 streams (~2^-128 collision odds)
     — unlike the SRP path there is no exact-verify stage behind the
     stars, so a single-hash collision would silently merge dissimilar
-    vectors."""
+    vectors.
+
+    NEAR-identical mega-clusters (mutually >= threshold but distinct
+    bytes — e.g. 50k copies of a file at 1% mutation, whose embeddings
+    sit at cosine ~0.99) pass the collapse untouched and would saturate
+    every member until k >= M: O(M^2) accepted rows and O(log M)
+    full-corpus rounds (the reference's loop, ann_unisim.py:126-152,
+    is equally quadratic there). Two in-loop guards bound it:
+    component contraction (dense components keep one searcher, see
+    _CONTRACT_MIN_COMPONENT) and an exhaustive tail round
+    (_EXHAUSTIVE_TAIL_QUERIES). Both preserve the component semantics
+    every consumer uses (the reference too feeds matches straight into
+    union-find) rather than the raw edge set."""
     from pyspark.sql import Window
 
     if metrics is None:
@@ -707,30 +736,82 @@ def ann_match_edges(
         metrics.k_final = k
         # the query side here is the (still-saturated subset of the)
         # CORPUS — never broadcast it; round 1 it IS the corpus
-        res = ivf_search(index, remaining, k, n_probe, broadcast_queries=False).filter(
-            F.col("sim") >= cfg.threshold
+        res = (
+            ivf_search(index, remaining, k, n_probe, broadcast_queries=False)
+            .filter(F.col("sim") >= cfg.threshold)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True)
         )
-        counted = res.groupBy("query_id").agg(
-            F.count(F.lit(1)).alias("__n__"),
-            F.collect_list(F.struct("neighbor_id", "sim")).alias("__ms__"),
-        ).localCheckpoint(eager=True)
-        forced_exit = k > 2 * n_total  # k beyond any possible result size
-        done = counted.filter(
-            F.lit(forced_exit) | (F.col("__n__") < k)
-        ).select("query_id", F.explode("__ms__").alias("m")).select(
-            "query_id", F.col("m.neighbor_id").alias("neighbor_id")
-        )
-        accepted.append(done.localCheckpoint(eager=True))
-        if forced_exit:
+        # every surviving match is a true >=threshold edge — accept it
+        # NOW, saturated or not (the reference likewise feeds every
+        # match straight into union-find, ann_unisim.py:155-158; its
+        # re-query at 2k only hunts matches BEYOND top-k). Saturation
+        # counts come from a plain groupBy over the same checkpoint: no
+        # collect_list — a dense query would otherwise materialize an
+        # M-struct list in one group.
+        accepted.append(res)
+        if k > 2 * n_total:  # k was beyond any possible result size
             break
-        saturated = counted.filter(F.col("__n__") >= k).select("query_id")
+        saturated = (
+            res.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .filter(F.col("__n__") >= k)
+            .select("query_id")
+        )
+        n_sat = saturated.count()
+        if n_sat == 0:
+            break
+        if n_sat >= _CONTRACT_MIN_COMPONENT:
+            # component CONTRACTION — the near-identical analogue of
+            # the identical-vector collapse above. A mega-cluster of M
+            # mutually >=threshold (but not byte-identical) vectors
+            # saturates all M members until k >= M — O(M^2) match rows
+            # and O(log M) full-corpus rounds. The edges accepted so
+            # far already connect such queries, so within any component
+            # holding >= _CONTRACT_MIN_COMPONENT saturated searchers
+            # only the min-id one keeps searching: one searcher per
+            # dense region, O(M log M) total work. Component-
+            # equivalent, not edge-equivalent — the same contract as
+            # the collapse (downstream is always CC, and the IVF probe
+            # set is approximate anyway); sparse chains (< the gate)
+            # keep every searcher, so bridge edges a contracted member
+            # would have found are only at risk inside dense blobs,
+            # where the continuing rep's threshold ball covers them.
+            edges_so_far = accepted[0]
+            for extra in accepted[1:]:
+                edges_so_far = edges_so_far.unionByName(extra)
+            comp, _ = connected_components(
+                edges_so_far, src="query_id", dst="neighbor_id"
+            )
+            cw = Window.partitionBy("__c__")
+            saturated = (
+                saturated.join(
+                    comp.withColumnRenamed("id", "query_id"),
+                    on="query_id",
+                    how="left",
+                )
+                .withColumn("__c__", F.coalesce("component", "query_id"))
+                .withColumn("__min__", F.min("query_id").over(cw))
+                .withColumn("__sz__", F.count(F.lit(1)).over(cw))
+                .filter(
+                    (F.col("__sz__") < _CONTRACT_MIN_COMPONENT)
+                    | (F.col("query_id") == F.col("__min__"))
+                )
+                .select("query_id")
+            )
         remaining = remaining.join(saturated, on="query_id", how="leftsemi").localCheckpoint(
             eager=True
         )
         n_remaining = remaining.count()
+        metrics.contractions += n_sat - n_remaining
         if n_remaining == 0:
             break
-        k *= 2
+        if n_remaining <= _EXHAUSTIVE_TAIL_QUERIES:
+            # a handful of dense-region searchers left: one exhaustive
+            # round beats doubling toward each cluster's size
+            k = 2 * n_total + 1
+        else:
+            k *= 2
     index.release()
     matches = accepted[0]
     for extra in accepted[1:]:

@@ -128,9 +128,11 @@ def test_ann_dedup_exact_matches_numpy_oracle(spark, vectors):
 
 
 def test_ann_dedup_adaptive_k_full_probe_is_exact(spark, vectors):
-    """k-doubling over the IVF index with n_probe == n_centroids (exact
+    """Adaptive k over the IVF index with n_probe == n_centroids (exact
     search) must reproduce the exact threshold-graph clusters, even when
-    k0 is tiny (forcing multiple saturation rounds)."""
+    k0 is tiny (forcing round-1 saturation). With dense 20-dup clusters
+    the loop resolves saturation via component contraction + one
+    exhaustive tail round instead of doubling k per cluster size."""
     from sparkdedup.ann import ann_dedup
 
     thr = 0.85
@@ -140,7 +142,10 @@ def test_ann_dedup_adaptive_k_full_probe_is_exact(spark, vectors):
 
     res = ann_dedup(vectors, DIM, cfg, exact=False, n_centroids=4, n_probe=4, k0=2)
     got = {r["vec_id"] for r in res.kept.select("vec_id").collect()}
-    assert res.metrics.rounds >= 3, "k0=2 on 20-dup clusters must saturate repeatedly"
+    assert res.metrics.rounds >= 2, "k0=2 on 20-dup clusters must saturate round 1"
+    assert res.metrics.contractions > 0, (
+        "dense saturated components must contract to one searcher each"
+    )
     assert got == want
 
 
@@ -433,6 +438,45 @@ def test_ann_dedup_identical_vector_collapse(spark):
     assert kept == {0} | set(range(m_ident, m_ident + n_bg))
     # the saturation loop must not have chased k past the DISTINCT count
     assert res.metrics.k_final <= 2 * (n_bg + 1) * 2
+
+
+def test_ann_dedup_near_identical_megacluster_contracts(spark):
+    """Round-5 regression (found by the 1M text->ANN e2e): a mega-
+    cluster of NEAR-identical vectors — mutually >= threshold but
+    distinct bytes, so the identical-vector collapse can't touch it —
+    must NOT saturate every member until k >= M (O(M^2) accepted rows).
+    Component contraction retires all but one searcher per dense
+    component after round 1, and the exhaustive tail round finishes it:
+    edge volume stays O(M*k), survivors exact."""
+    from sparkdedup.ann import ann_dedup
+
+    m, n_bg = 400, 80
+    rng = np.random.RandomState(23)
+    base = rng.standard_normal(DIM)
+    rows = []
+    for i in range(m):
+        # ~0.1% perturbation: pairwise cosine ~0.999998, all distinct
+        v = base + 1e-3 * rng.standard_normal(DIM)
+        rows.append((i, [float(x) for x in v]))
+    for i in range(m, m + n_bg):
+        rows.append((i, [float(x) for x in rng.standard_normal(DIM)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    k0 = 4
+    res = ann_dedup(df, DIM, ANNConfig(threshold=0.95), exact=False, k0=k0)
+    assert res.metrics.n_distinct == m + n_bg, "no byte-identical vectors to collapse"
+    assert res.metrics.contractions >= m - 2 * k0, (
+        f"dense cluster must contract, retired only {res.metrics.contractions}"
+    )
+    # O(M*k): round-1 top-k for every member + the final searcher's
+    # exhaustive list (M) + background round-1 rows; quadratic is ~80k
+    linear_bound = (m + n_bg) * 2 * k0 + 2 * m
+    assert res.metrics.match_edges <= linear_bound, (
+        f"{res.metrics.match_edges} edges > linear bound {linear_bound} "
+        f"(quadratic would be ~{m * (m - 1) // 2})"
+    )
+    kept = {r["vec_id"] for r in res.kept.select("vec_id").collect()}
+    assert kept == {0} | set(range(m, m + n_bg))
 
 
 def test_annconfig_rejects_hyperplanes_over_62():

@@ -50,24 +50,32 @@ def main() -> None:
 
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), PYTHONPATH=REPO)
     t0 = time.time()
-    run = subprocess.run(
-        [
-            sys.executable, "-m", "sparkdedup.cli", "ann",
-            "-i", corpus, "-o", out,
-            "--encode_text", "content",
-            "--work_dir", work,
-            "--metrics", metrics_path,
-            "--threshold", "0.9",
-        ],
-        capture_output=True, text=True, timeout=7200, env=env, cwd=REPO,
-    )
+    # full streams to files — a truncated stderr tail loses the executor
+    # error behind Spark's driver-side stack on multi-screen failures
+    with open("/tmp/ann_text_e2e.out", "w") as out_f, open(
+        "/tmp/ann_text_e2e.err", "w"
+    ) as err_f:
+        run = subprocess.run(
+            [
+                sys.executable, "-m", "sparkdedup.cli", "ann",
+                "-i", corpus, "-o", out,
+                "--encode_text", "content",
+                "--work_dir", work,
+                "--metrics", metrics_path,
+                "--threshold", "0.9",
+            ],
+            stdout=out_f, stderr=err_f, text=True, timeout=7200, env=env, cwd=REPO,
+        )
     wall = round(time.time() - t0, 2)
     cli_line = None
-    for line in run.stdout.strip().splitlines():
+    for line in open("/tmp/ann_text_e2e.out").read().strip().splitlines():
         if line.startswith("{"):
             cli_line = json.loads(line)
     if run.returncode != 0 or cli_line is None:
-        sys.stderr.write(run.stdout[-2000:] + "\n" + run.stderr[-4000:] + "\n")
+        sys.stderr.write(
+            f"cli ann run failed (rc={run.returncode}) — full logs at "
+            "/tmp/ann_text_e2e.out, /tmp/ann_text_e2e.err\n"
+        )
         raise RuntimeError(f"cli ann run failed (rc={run.returncode})")
 
     with open(metrics_path) as f:
