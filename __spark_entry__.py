@@ -266,11 +266,14 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sparkdedup.textstats import language_id
+    # staged projections: one regex split + 4 array filters per doc
+    # instead of the single-expression form Catalyst expands to ~8
+    # splits (same vote semantics; textstats.language_id_staged)
+    from sparkdedup.textstats import language_id_staged
 
     df = _docs(spark, sf_dir)
     return (
-        df.select(language_id(F.col("text")).alias("lang_guess"))
+        language_id_staged(df, column="text")
         .groupBy("lang_guess")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -33,6 +33,10 @@ class CCStats:
     iterations: int = 0
     label_sums: List[int] = field(default_factory=list)
     mode: str = "distributed"
+    # exact edge count when the driver path collected the full list;
+    # None on the distributed path (never counted there). Lets callers
+    # detect the empty-graph case without paying an extra isEmpty job.
+    n_edges: "int | None" = None
 
 
 def connected_components(
@@ -53,6 +57,12 @@ def connected_components(
     checkpointed distributed label propagation runs. Both produce the
     identical min-id labeling.
 
+    The sizing probe and the driver-path edge collection are ONE job:
+    ``limit(threshold+1).toPandas()`` both answers "does the edge list
+    fit?" and, when it does, already holds the whole list — the old
+    two-action shape (count probe, then toPandas) cost every CC
+    consumer an extra full pass over the edge lineage.
+
     Parameters
     ----------
     edges : DataFrame[src: long, dst: long]
@@ -64,9 +74,14 @@ def connected_components(
     """
     stats = CCStats()
 
-    # the sizing probe + the follow-up pass would otherwise recompute an
-    # unpersisted edge lineage twice; persist here unless the caller
-    # already did
+    if driver_threshold > 0:
+        pdf = edges.select(src, dst).limit(driver_threshold + 1).toPandas()
+        if len(pdf) <= driver_threshold:
+            stats.n_edges = len(pdf)
+            return _driver_cc_pdf(pdf, src, dst, stats, edges.sparkSession)
+
+    # distributed path: the symmetrized union reads the edge lineage
+    # again — persist unless the caller already did
     lvl = edges.storageLevel
     we_persisted = False
     if not (lvl.useMemory or lvl.useDisk):
@@ -76,19 +91,14 @@ def connected_components(
         we_persisted = True
 
     try:
-        if driver_threshold > 0:
-            sample = edges.limit(driver_threshold + 1).count()
-            if sample <= driver_threshold:
-                return _driver_cc(edges, src, dst, stats)
-
         sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
             edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
         )
         sym = sym.localCheckpoint(eager=True)
     finally:
         if we_persisted:
-            # sym is localCheckpointed (driver path: already collected),
-            # so the input cache is no longer needed either way
+            # sym is localCheckpointed, so the input cache is no longer
+            # needed
             edges.unpersist()
 
     # label(x) = min(x, min neighbor) — LSH star edges already point at
@@ -138,10 +148,16 @@ def connected_components(
 
 def _driver_cc(edges: DataFrame, src: str, dst: str, stats: CCStats):
     """Single-pass union-find on the driver (small graphs)."""
+    pdf = edges.select(src, dst).toPandas()
+    stats.n_edges = len(pdf)
+    return _driver_cc_pdf(pdf, src, dst, stats, edges.sparkSession)
+
+
+def _driver_cc_pdf(pdf, src: str, dst: str, stats: CCStats, spark):
+    """Union-find over an already-collected pandas edge list."""
     import pandas as pd
 
     stats.mode = "driver"
-    pdf = edges.select(src, dst).toPandas()
     parent: dict = {}
 
     def find(x: int) -> int:
@@ -163,5 +179,4 @@ def _driver_cc(edges: DataFrame, src: str, dst: str, stats: CCStats):
 
     ids = sorted(set(pdf[src].tolist()) | set(pdf[dst].tolist()))
     out = pd.DataFrame({"id": ids, "component": [find(i) for i in ids]})
-    spark = edges.sparkSession
     return spark.createDataFrame(out, schema="id long, component long"), stats

@@ -137,5 +137,45 @@ def ccnet_dedup(
 ) -> DataFrame:
     """Line-level dedup: globally-first occurrence of each normalized
     line survives; documents are rebuilt in original line order and
-    empty documents dropped (ccnet.py:166-194)."""
-    return ccnet_rebuild(df, ccnet_line_firsts(df, cfg, id_col), cfg, id_col)
+    empty documents dropped (ccnet.py:166-194).
+
+    Fused single-pass plan: the winning LINE rides inside the min-struct
+    aggregation — ``min(struct(id, line_no, line))`` per line hash —
+    so the corpus is exploded/normalized ONCE and there is no join back
+    onto a second hashed-lines computation (the staged
+    ccnet_line_firsts/ccnet_rebuild pair keeps the two-step shape
+    because its materialized firsts table deliberately excludes line
+    text). (id, line_no) is unique per line, so the struct minimum
+    picks exactly the globally-first occurrence; the trailing ``line``
+    field never influences the comparison. Map-side partial aggregation
+    keeps mega-duplicate lines skew-immune, and shuffle bytes drop to
+    <= one row per distinct line hash per map partition (the old probe
+    side shuffled EVERY line with its text)."""
+    lines = ccnet_hashed_lines(df, cfg, id_col)
+    kept_lines = (
+        lines.groupBy("__lh__")
+        .agg(F.min(F.struct(F.col(id_col), F.col("line_no"), F.col("line"))).alias("f"))
+        .select(
+            F.col(f"f.{id_col}").alias(id_col),
+            F.col("f.line_no").alias("line_no"),
+            F.col("f.line").alias("line"),
+        )
+    )
+    rebuilt = (
+        kept_lines.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                    lambda s: s.line,
+                ),
+                "\n",
+            ).alias("__rebuilt__")
+        )
+        .filter(F.length("__rebuilt__") > 0)
+    )
+    return (
+        df.drop(cfg.column)
+        .join(rebuilt, on=id_col, how="inner")
+        .withColumnRenamed("__rebuilt__", cfg.column)
+    )

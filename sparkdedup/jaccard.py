@@ -103,17 +103,25 @@ def jaccard_dedup(
     with_sig = df.withColumn(SIG, sig_udf(col(cfg.column))).persist(StorageLevel.MEMORY_AND_DISK)
     kept_docs = with_sig.filter(col(SIG).isNotNull())
 
-    verified = jaccard_verified_edges(kept_docs, cfg, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    n_edges = verified.count() if collect_metrics else (0 if verified.isEmpty() else -1)
+    verified = jaccard_verified_edges(kept_docs, cfg, id_col)
+    if collect_metrics:
+        verified = verified.persist(StorageLevel.MEMORY_AND_DISK)
+        n_edges = verified.count()
+        if n_edges == 0:
+            empty = df.sparkSession.createDataFrame([], "id long, component long")
+            verified.unpersist()
+            return JaccardResult(kept_docs.drop(SIG), empty, 0, cached=[with_sig])
+    else:
+        # fast path: no isEmpty probe — connected_components' driver
+        # path collects the edge list in one job and reports n_edges
+        n_edges = -1
 
+    assignment, cc_stats = connected_components(verified)
+    if n_edges < 0:
+        n_edges = cc_stats.n_edges if cc_stats.n_edges is not None else -1
     if n_edges == 0:
         empty = df.sparkSession.createDataFrame([], "id long, component long")
-        verified.unpersist()
         return JaccardResult(kept_docs.drop(SIG), empty, 0, cached=[with_sig])
-
-    assignment, _ = connected_components(verified)
     kept = (
         kept_docs.join(
             assignment.withColumnRenamed("id", id_col).withColumnRenamed("component", "__component__"),
@@ -123,5 +131,6 @@ def jaccard_dedup(
         .filter(col("__component__").isNull() | (col("__component__") == col(id_col)))
         .drop("__component__", SIG)
     )
-    verified.unpersist()
+    if collect_metrics:
+        verified.unpersist()
     return JaccardResult(kept, assignment, n_edges, cached=[with_sig])

@@ -273,8 +273,11 @@ def minhash_dedup(
     row survives (minhash_spark.py:423-428, 524-528).
 
     collect_metrics=False skips the stage-count actions (each is a full
-    pass) — the fast path for production/bench runs; the structural
-    early-exit check degrades to a cheap isEmpty (limit-1) probe.
+    pass) — the fast path for production/bench runs; no isEmpty probe
+    either: the edge list flows straight into connected_components,
+    whose driver path collects it in ONE job and reports the exact edge
+    count back (CCStats.n_edges), so the empty-graph early exit costs
+    nothing extra.
     """
     import time
 
@@ -306,20 +309,32 @@ def minhash_dedup(
 
     t1 = time.time()
     bands = kept_docs.select(F.col(id_col), F.posexplode(SIG).alias("band", "hash"))
-    edges = band_edges(bands, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    edges = band_edges(bands, id_col)
     if collect_metrics:
+        # metrics need an explicit edge count; persist so the count and
+        # the CC pass share one materialization
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
         metrics.candidate_edges = edges.count()
         no_edges = metrics.candidate_edges == 0
     else:
-        no_edges = edges.isEmpty()
+        # fast path: edges stay lazy — connected_components' driver
+        # path consumes the lineage exactly once (single collect job)
+        # and reports n_edges, covering the empty-graph check for free
+        no_edges = False
     metrics.stage_seconds["edges"] = time.time() - t1
 
     t2 = time.time()
+    if not no_edges:
+        assignment, cc_stats = connected_components(edges)
+        metrics.cc_iterations = cc_stats.iterations
+        no_edges = cc_stats.n_edges == 0
+
     if no_edges:
         # early exit mirrors minhash_spark.py:472-483; the empty
         # assignment is built lineage-free so edges can be unpersisted
         empty_assign = df.sparkSession.createDataFrame([], "id long, component long")
-        edges.unpersist()
+        if collect_metrics:
+            edges.unpersist()
         result = kept_docs.drop(SIG)
         metrics.rows_after = metrics.rows_kept_len_filter
         metrics.stage_seconds["cc"] = time.time() - t2
@@ -327,9 +342,6 @@ def minhash_dedup(
             result, empty_assign, metrics,
             cached=[with_sig] if storage_level is not None else [],
         )
-
-    assignment, cc_stats = connected_components(edges)
-    metrics.cc_iterations = cc_stats.iterations
     metrics.stage_seconds["cc"] = time.time() - t2
 
     t3 = time.time()
@@ -344,8 +356,8 @@ def minhash_dedup(
     )
     if collect_metrics:
         metrics.rows_after = kept.count()
+        edges.unpersist()
     metrics.stage_seconds["filter"] = time.time() - t3
-    edges.unpersist()
     return MinHashResult(
         kept, assignment, metrics,
         cached=[with_sig] if storage_level is not None else [],

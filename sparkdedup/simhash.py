@@ -469,21 +469,27 @@ def simhash_dedup(
         metrics.rows_before = df.count()
         metrics.rows_with_fp = fps.count()
 
-    edges = simhash_edges(fps, cfg, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    edges = simhash_edges(fps, cfg, id_col)
     if collect_metrics:
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
         metrics.candidate_edges = edges.count()
         no_edges = metrics.candidate_edges == 0
     else:
-        no_edges = edges.isEmpty()
+        # fast path: no isEmpty probe — connected_components' driver
+        # path collects the edge list in one job and reports n_edges
+        no_edges = False
+
+    if not no_edges:
+        assignment, cc_stats = connected_components(edges)
+        metrics.cc_iterations = cc_stats.iterations
+        no_edges = cc_stats.n_edges == 0
 
     if no_edges:
         metrics.rows_after = metrics.rows_before
         empty_assign = df.sparkSession.createDataFrame([], "id long, component long")
-        edges.unpersist()
+        if collect_metrics:
+            edges.unpersist()
         return SimHashResult(with_fp.drop(FP), empty_assign, metrics, cached=[with_fp])
-
-    assignment, cc_stats = connected_components(edges)
-    metrics.cc_iterations = cc_stats.iterations
 
     kept = (
         with_fp.join(
@@ -496,5 +502,5 @@ def simhash_dedup(
     )
     if collect_metrics:
         metrics.rows_after = kept.count()
-    edges.unpersist()
+        edges.unpersist()
     return SimHashResult(kept, assignment, metrics, cached=[with_fp])

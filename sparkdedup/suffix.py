@@ -508,13 +508,25 @@ def apply_substring_splice(
 ) -> Tuple[DataFrame, str]:
     """PASS B: splice the duplicated windows out of ``df`` given the
     (h1, h2[, c]) duplicated-fingerprint table (possibly re-read from a
-    staged parquet). Returns (kept rows with empties dropped, path)."""
+    staged parquet). Returns (kept rows with empties dropped, path).
+
+    ``n_dup=None`` means unknown: the size probe and the broadcast-path
+    collection are then ONE job — ``limit(max_broadcast_keys+1)
+    .toPandas()`` both answers "does the dup set fit?" and, when it
+    does, already holds the keys (the old shape paid a separate count
+    action, i.e. one extra full PASS-A evaluation per call)."""
+    pds = None
     if n_dup is None:
-        n_dup = dup_keys.count()
+        pds = dup_keys.select("h1", "h2").limit(cfg.max_broadcast_keys + 1).toPandas()
+        n_dup = len(pds)
+        if n_dup > cfg.max_broadcast_keys:
+            n_dup = cfg.max_broadcast_keys + 1  # over the gate; exact count unknown
+            pds = None
 
     if n_dup <= cfg.max_broadcast_keys:
         if n_dup:
-            pds = dup_keys.select("h1", "h2").toPandas()
+            if pds is None:
+                pds = dup_keys.select("h1", "h2").toPandas()
             keys = _sort_key_halves(
                 np.ascontiguousarray(pds["h1"].to_numpy()).view(np.uint64),
                 np.ascontiguousarray(pds["h2"].to_numpy()).view(np.uint64),
@@ -638,11 +650,17 @@ def substring_dedup(
         metrics.rows_before = df.count()
 
     dup_keys = _detect_dup_keys(df, cfg).persist(StorageLevel.MEMORY_AND_DISK)
-    stats = dup_keys.agg(
-        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("c"), F.lit(0)).alias("w")
-    ).first()
-    n_dup, metrics.duplicated_windows = int(stats["n"]), int(stats["w"])
-    metrics.dup_keys = n_dup
+    if collect_metrics:
+        stats = dup_keys.agg(
+            F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("c"), F.lit(0)).alias("w")
+        ).first()
+        n_dup, metrics.duplicated_windows = int(stats["n"]), int(stats["w"])
+        metrics.dup_keys = n_dup
+    else:
+        # fast path: skip the count/sum action — apply_substring_splice
+        # fuses the size probe with the broadcast-path key collection
+        # into one job (metrics.dup_keys stays 0 here by design)
+        n_dup = None
 
     kept, metrics.path = apply_substring_splice(df, dup_keys, cfg, id_col, n_dup=n_dup)
     cached = [df]

@@ -82,6 +82,35 @@ def language_id(col: Column) -> Column:
     return expr
 
 
+def language_id_staged(df: DataFrame, column: str = "text", out_col: str = "lang_guess") -> DataFrame:
+    """``language_id`` as a staged three-projection plan over a whole
+    DataFrame: the token split is materialized ONCE, the four
+    per-language hit counts ONCE each, then the vote runs over four tiny
+    int columns. The single-Column ``language_id`` expression re-embeds
+    the regex split in every marker count and the counts again in every
+    CASE branch (~8 splits + ~12 array filters per row once Catalyst
+    expands the tree); separate projections stop that because Catalyst's
+    CollapseProject refuses to inline non-cheap aliases referenced more
+    than once. Same vote semantics, same tie-break (en > fr > es > de),
+    same 'und' on zero hits.
+
+    Returns a DataFrame with the single ``out_col`` column.
+    """
+    toks = df.select(F.split(F.lower(F.trim(F.col(column))), r"\s+").alias("__toks__"))
+    hits = toks.select(
+        *[
+            F.size(F.filter(F.col("__toks__"), lambda t: t.isin(*words))).alias(f"__h_{lang}__")
+            for lang, words in LANG_MARKERS.items()
+        ]
+    )
+    hcols = {lang: F.col(f"__h_{lang}__") for lang in LANG_MARKERS}
+    best = F.greatest(*hcols.values())
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in ["en", "fr", "es", "de"]:
+        expr = expr.when(hcols[lang] == best, F.lit(lang))
+    return hits.select(expr.alias(out_col))
+
+
 def news_copy_preprocess(col: Column) -> Column:
     """NEWS-COPY benchmark preprocessing (reference
     utils/preprocess.py:41-59): de-hyphenate line breaks, flatten

@@ -129,10 +129,14 @@ def test_ann_dedup_exact_matches_numpy_oracle(spark, vectors):
 
 def test_ann_dedup_adaptive_k_full_probe_is_exact(spark, vectors):
     """Adaptive k over the IVF index with n_probe == n_centroids (exact
-    search) must reproduce the exact threshold-graph clusters, even when
-    k0 is tiny (forcing round-1 saturation). With dense 20-dup clusters
-    the loop resolves saturation via component contraction + one
-    exhaustive tail round instead of doubling k per cluster size."""
+    search) reproduces the exact threshold-graph clusters ON THIS
+    CORPUS, even when k0 is tiny (forcing round-1 saturation). Full
+    probing removes the IVF approximation but component contraction
+    still weakens the guarantee in general: a bridge chain of >= 2
+    retired members between two contracted components can be lost (see
+    test_contraction_two_retired_chain_documented_divergence). Here
+    every cluster is a dense ball whose bridges sit inside a continuing
+    rep's threshold ball, so the result is exact."""
     from sparkdedup.ann import ann_dedup
 
     thr = 0.85
@@ -477,6 +481,100 @@ def test_ann_dedup_near_identical_megacluster_contracts(spark):
     )
     kept = {r["vec_id"] for r in res.kept.select("vec_id").collect()}
     assert kept == {0} | set(range(m, m + n_bg))
+
+
+def _plane_vec(e1, e2, deg):
+    """Unit vector at `deg` degrees from e1 inside the (e1, e2) plane."""
+    t = np.deg2rad(deg)
+    return np.cos(t) * e1 + np.sin(t) * e2
+
+
+def _bridge_corpus(spark, blob_deg, blob_ids, bridge):
+    """Two dense 12-member blobs at plane angles blob_deg[0]/blob_deg[1]
+    plus bridge vectors [(id, deg), ...]; 1e-3 noise inside each blob."""
+    rng = np.random.RandomState(7)
+    e1 = np.zeros(DIM); e1[0] = 1.0
+    e2 = np.zeros(DIM); e2[1] = 1.0
+    rows = []
+    for deg, ids in zip(blob_deg, blob_ids):
+        base = _plane_vec(e1, e2, deg)
+        for i in ids:
+            v = base + 1e-3 * rng.standard_normal(DIM)
+            rows.append((i, [float(x) for x in v]))
+    for bid, deg in bridge:
+        v = _plane_vec(e1, e2, deg)
+        rows.append((bid, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_contraction_single_retired_bridge_still_merges(spark):
+    """VERDICT r5 #2 (covered case): two dense blobs, each past the
+    contraction gate, joined ONLY through one bridge vector whose
+    round-1 top-k is all blob-A (so it is retired as a non-rep member
+    of A's component). The components must still merge: the bridge lies
+    inside BOTH continuing reps' threshold balls, so the exhaustive
+    tail round of either rep re-finds it. This is exactly the cover the
+    contraction docstring claims — one retired hop is always safe."""
+    from sparkdedup.ann import ann_dedup
+
+    thr = 0.9  # ball radius acos(0.9) = 25.8 deg
+    # blobs at 0 and 46 deg (cos 0.695 < thr: reps not directly linked);
+    # bridge at 23 deg: cos 0.921 to BOTH blobs — in both balls
+    df = _bridge_corpus(
+        spark, [0.0, 46.0], [range(12), range(200, 212)], [(100, 23.0)]
+    )
+    exact = ann_dedup(df, DIM, ANNConfig(threshold=thr), exact=True)
+    want = {r["vec_id"] for r in exact.kept.select("vec_id").collect()}
+    assert want == {0}, "sanity: exact clustering merges everything via the bridge"
+    res = ann_dedup(
+        df, DIM, ANNConfig(threshold=thr), exact=False,
+        n_centroids=4, n_probe=4, k0=4,  # full probe: IVF recall exact
+    )
+    assert res.metrics.contractions > 0, "contraction must actually engage"
+    got = {r["vec_id"] for r in res.kept.select("vec_id").collect()}
+    assert got == want, "single-retired-hop bridge must still merge the blobs"
+
+
+def test_contraction_two_retired_chain_documented_divergence(spark):
+    """VERDICT r5 #2 (measured bound): a chain of TWO retired bridge
+    vectors — m1 in A's ball only, m2 in B's ball only, linked to each
+    other — CAN be lost: after both components contract, neither
+    continuing rep's threshold ball contains the other component's
+    bridge, and the m1—m2 edge (never in either's round-1 top-k, both
+    retired before k grows) is never generated. The reference loop
+    (ann_unisim.py:126-152) never retires searchers and would merge
+    these; our contraction trades that recall tail for O(M log M)
+    mega-cluster cost. This test PINS the divergence as the documented
+    contract (see _CONTRACT_MIN_COMPONENT in sparkdedup/ann.py) — if a
+    future change makes the loop merge them, tighten the docstring back
+    to the stronger claim and flip the assertion."""
+    from sparkdedup.ann import ann_dedup
+
+    thr = 0.9
+    # blobs at 0/71.5 deg; chain 0 -23°- m1 -25.5°- m2 -23°- 71.5:
+    #   cos(A,m1)=cos23=.921  cos(m1,m2)=cos25.5=.903  cos(m2,B)=.921
+    #   cos(A,m2)=cos48.5=.663<thr  cos(m1,B)<thr  cos(A,B)=cos71.5<thr
+    # m1 tilts toward A (.921 > .903) so its round-1 top-4 is all-A;
+    # m2 likewise all-B; id 300 keeps m2 from being its component's min.
+    df = _bridge_corpus(
+        spark, [0.0, 71.5], [range(12), range(200, 212)],
+        [(100, 23.0), (300, 48.5)],
+    )
+    exact = ann_dedup(df, DIM, ANNConfig(threshold=thr), exact=True)
+    want = {r["vec_id"] for r in exact.kept.select("vec_id").collect()}
+    assert want == {0}, "sanity: exact clustering merges everything via m1-m2"
+    res = ann_dedup(
+        df, DIM, ANNConfig(threshold=thr), exact=False,
+        n_centroids=4, n_probe=4, k0=4,
+    )
+    assert res.metrics.contractions > 0
+    got = {r["vec_id"] for r in res.kept.select("vec_id").collect()}
+    # documented divergence: the two contracted components stay separate
+    assert got == {0, 200}, (
+        f"expected the pinned two-component outcome, got {sorted(got)} — "
+        "if the loop now merges these, strengthen the contraction docstring "
+        "and flip this assertion to got == want"
+    )
 
 
 def test_annconfig_rejects_hyperplanes_over_62():
