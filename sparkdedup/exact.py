@@ -44,11 +44,22 @@ def content_hash(col: Column, hash_func: str) -> Column:
 def exact_hash_dedup(
     df: DataFrame, cfg: ExactHashConfig = ExactHashConfig(), id_col: str = DOC_ID
 ) -> DataFrame:
-    """Keep the lowest-id row of every byte-identical content group."""
+    """Keep the lowest-id row of every byte-identical content group.
+
+    One hash pass: the group-min aggregation is the only consumer of
+    the content hash; the probe side rejoins on the id alone (ids are
+    unique — with_doc_id's contract — so "id is some group's minimum"
+    identifies exactly the surviving rows). The previous join on
+    (hash, id) hashed the content a second time on the probe side AND
+    shuffled the survivors by the wide hash key."""
     h = content_hash(F.col(cfg.column), cfg.hash_func).alias("__h__")
-    hashed = df.withColumn("__h__", h)
-    firsts = hashed.groupBy("__h__").agg(F.min(id_col).alias(id_col))
-    return hashed.join(firsts, on=["__h__", id_col], how="inner").drop("__h__")
+    firsts = (
+        df.select(h, F.col(id_col))
+        .groupBy("__h__")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(firsts, on=id_col, how="leftsemi")
 
 
 def bloom_filter_dedup(

@@ -72,8 +72,18 @@ def jaccard_verified_edges(
     non-null SIG column; the staged jaccard_job checkpoints this frame."""
     bands = kept_docs.select(col(id_col), F.posexplode(SIG).alias("band", "hash"))
     cand = band_edges(bands, id_col)
+    # hash each shingle to a long BEFORE the verification joins: the
+    # shingle arrays are this pipeline's heaviest shuffle payload
+    # (~30 B/string vs 8 B/long per shingle, both join sides), and
+    # array_intersect over longs beats string comparisons. Jaccard over
+    # hashed sets equals the string-set value barring an in-doc 64-bit
+    # collision (~|s|^2/2^64 per doc — negligible; the same documented
+    # move as the entry's exact-truth CTE, __spark_entry__._jaccard_truth).
     shingles = kept_docs.select(
-        col(id_col), shingle_array(col(cfg.column), cfg.ngram).alias("__sh__")
+        col(id_col),
+        F.array_distinct(
+            F.transform(shingle_array(col(cfg.column), cfg.ngram), lambda x: F.xxhash64(x))
+        ).alias("__sh__"),
     )
     return (
         cand.join(shingles.withColumnRenamed(id_col, "src").withColumnRenamed("__sh__", "sa"), on="src")

@@ -439,9 +439,15 @@ def simhash_edges(fps: DataFrame, cfg: SimHashConfig, id_col: str = DOC_ID) -> D
             )
             cands = pair_candidates(small).unionByName(pair_candidates(big_sub).drop("skey"))
 
+    # Hamming verify BEFORE any dedup: bit_count on 1-2 longs is
+    # codegen-free-ish per row, so verifying a pair once per colliding
+    # permutation costs less than shuffling the multiplicity through a
+    # dedup exchange first. The terminal dropDuplicates below already
+    # dedupes across permutations AND against the star edges — the
+    # previous inner dropDuplicates was a second full exchange of the
+    # candidate set for nothing.
     pair_edges = (
         cands.select("rep", "rep_b", FP, "__fp_b__")
-        .dropDuplicates(["rep", "rep_b"])
         .filter(_hamming(cfg, FP, "__fp_b__") <= cfg.bit_diff)
         .select(F.col("rep_b").alias("src"), F.col("rep").alias("dst"))
     )

@@ -129,13 +129,54 @@ def doc_fingerprint(col: Column) -> Column:
 
 
 def text_stats(df: DataFrame, column: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc stats via STAGED projections: the trimmed length, char
+    length, punctuation count and the lowered whitespace-token split
+    are each materialized once, then every output column derives from
+    those four — the single-projection form re-embedded the regex split
+    ~9x (token count + language_id's 4 marker lists, each referenced
+    again by greatest/CASE) and the \\p{P} strip twice (punct_ratio +
+    quality). Catalyst keeps the stages separate because CollapseProject
+    refuses to inline non-cheap aliases referenced more than once.
+    Values are identical: lowercasing never alters whitespace, so the
+    lowered split has the same token count as the raw one."""
     c = F.col(column)
-    return df.select(
+    base = df.select(
         F.col(id_col),
-        whitespace_token_count(c).alias("n_tokens"),
-        F.length(c).alias("n_chars"),
-        punct_ratio(c).alias("punct_ratio"),
-        quality_score(c).alias("quality"),
-        language_id(c).alias("lang_guess"),
-        doc_fingerprint(c).alias("fingerprint"),
+        c.alias("__c__"),
+        F.length(c).alias("__n__"),
+        F.length(F.trim(c)).alias("__nt__"),
+        (F.length(c) - F.length(F.regexp_replace(c, r"\p{P}", ""))).alias("__np__"),
+        F.split(F.lower(F.trim(c)), r"\s+").alias("__toks__"),
+    )
+    n, nt, np_ = F.col("__n__"), F.col("__nt__"), F.col("__np__")
+    staged = base.select(
+        F.col(id_col),
+        F.col("__c__"),
+        n,
+        F.when(nt == 0, F.lit(0)).otherwise(F.size("__toks__")).alias("__ntok__"),
+        F.when(n == 0, F.lit(0.0)).otherwise(np_ / n).alias("__pr__"),
+        *[
+            F.size(F.filter(F.col("__toks__"), lambda t: t.isin(*words))).alias(f"__h_{lang}__")
+            for lang, words in LANG_MARKERS.items()
+        ],
+    )
+    toks = F.col("__ntok__")
+    pr = F.col("__pr__")
+    mean_tok = F.when(toks == 0, F.lit(0.0)).otherwise(n.cast("double") / toks)
+    len_ok = F.when((n >= 50) & (n <= 20000), 1.0).otherwise(0.0)
+    punct_ok = F.when(pr <= 0.3, 1.0).otherwise(0.0)
+    tok_ok = F.when((mean_tok >= 3.0) & (mean_tok <= 12.0), 1.0).otherwise(0.0)
+    hcols = {lang: F.col(f"__h_{lang}__") for lang in LANG_MARKERS}
+    best = F.greatest(*hcols.values())
+    lang_expr = F.when(best == 0, F.lit("und"))
+    for lang in ["en", "fr", "es", "de"]:
+        lang_expr = lang_expr.when(hcols[lang] == best, F.lit(lang))
+    return staged.select(
+        F.col(id_col),
+        toks.alias("n_tokens"),
+        n.alias("n_chars"),
+        pr.alias("punct_ratio"),
+        ((len_ok + punct_ok + tok_ok) / F.lit(3.0)).alias("quality"),
+        lang_expr.alias("lang_guess"),
+        doc_fingerprint(F.col("__c__")).alias("fingerprint"),
     )
